@@ -1,0 +1,251 @@
+"""Public counting APIs (reference: src/run.rs:66-426, src/streaming.rs:95-509).
+
+Every reference entry point has an equivalent here with the same semantics;
+string-keyed functions return ``dict[str, int]`` of canonical k-mer ->
+count, packed variants return ``dict[int, int]`` keyed by the 2-bit packed
+canonical code.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import mmap as _mmap
+import os
+import sys
+from typing import BinaryIO, Callable, Iterable, TextIO
+
+from .errors import KrustError
+from .io.format import SequenceFormat
+from .io.input import Input
+from .io.reader import (
+    ParsedStreams,
+    parse_records,
+    parse_to_streams,
+    read_input_bytes,
+    streams_from_sequences,
+)
+from .kmer import KmerLength
+from .models.engines import (
+    PackedCounts,
+    SequentialEngine,
+    count_streams,
+)
+from .output import OutputFormat, output_counts
+from .utils.config import EngineConfig
+from .utils.progress import Progress, ProgressTracker
+from .utils.tracing import span
+
+ProgressCallback = Callable[[Progress], None]
+
+
+def _count_path(
+    path: str | os.PathLike | None,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+    config: EngineConfig | None = None,
+    progress: ProgressCallback | None = None,
+) -> PackedCounts:
+    """Shared pipeline: read -> parse -> pack -> device count."""
+    kk = KmerLength(k).get()
+    resolved = fmt.resolve(path)
+    with span("read_sequences", path=str(path), format=str(resolved)):
+        data = read_input_bytes(path)
+        streams = parse_to_streams(data, resolved)
+    tracker = ProgressTracker() if progress is not None else None
+    return count_streams(streams, kk, min_quality, config, progress, tracker)
+
+
+# --- string-keyed API (reference: src/run.rs) --------------------------------------
+
+
+def count_kmers(path: str | os.PathLike, k: int) -> dict[str, int]:
+    """Count canonical k-mers in a FASTA/FASTQ file
+    (reference: src/run.rs:221-344)."""
+    return _count_path(path, k).to_string_dict()
+
+
+def count_kmers_with_format(
+    path: str | os.PathLike, k: int, fmt: SequenceFormat
+) -> dict[str, int]:
+    """Count with an explicit input format (reference: src/run.rs:262-300)."""
+    return _count_path(path, k, fmt).to_string_dict()
+
+
+def count_kmers_with_quality(
+    path: str | os.PathLike,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+) -> dict[str, int]:
+    """Count with Phred quality filtering for FASTQ
+    (reference: src/run.rs:304-344). Quality is ignored for FASTA."""
+    return _count_path(path, k, fmt, min_quality).to_string_dict()
+
+
+def count_kmers_with_progress(
+    path: str | os.PathLike, k: int, callback: ProgressCallback
+) -> dict[str, int]:
+    """Count while reporting progress (reference: src/run.rs:382-426)."""
+    return _count_path(path, k, progress=callback).to_string_dict()
+
+
+def count_kmers_mmap(path: str | os.PathLike, k: int) -> dict[str, int]:
+    """Count from a memory-mapped FASTA file (reference: src/run.rs:691-756).
+
+    The file bytes are mapped read-only instead of read eagerly; parsing
+    consumes the map without an intermediate copy of the raw file.
+    """
+    resolved = SequenceFormat.AUTO.resolve(path)
+    with open(path, "rb") as f:
+        if os.fstat(f.fileno()).st_size == 0:
+            return {}
+        with _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
+            streams = parse_to_streams(bytes(mm), resolved)
+    return count_streams(streams, KmerLength(k).get()).to_string_dict()
+
+
+# --- packed + streaming API (reference: src/streaming.rs) ---------------------------
+
+
+def count_kmers_streaming(path: str | os.PathLike, k: int) -> dict[str, int]:
+    """Count in device-sized batches — genome may exceed device memory
+    (reference: src/streaming.rs:95-120)."""
+    return _count_path(path, k).to_string_dict()
+
+
+def count_kmers_streaming_packed(path: str | os.PathLike, k: int) -> dict[int, int]:
+    """Packed-key variant, avoiding string materialization
+    (reference: src/streaming.rs:158-167)."""
+    return _count_path(path, k).to_packed_dict()
+
+
+def count_kmers_packed(path: str | os.PathLike, k: int) -> dict[int, int]:
+    """Packed-key batch count."""
+    return _count_path(path, k).to_packed_dict()
+
+
+def count_kmers_sequential(path: str | os.PathLike, k: int) -> dict[str, int]:
+    """Record-at-a-time single-pass count (reference: src/streaming.rs:677-789)."""
+    resolved = SequenceFormat.AUTO.resolve(path)
+    data = read_input_bytes(path)
+    records = parse_records(data, resolved)
+    return SequentialEngine().count_records(records, KmerLength(k).get()).to_string_dict()
+
+
+def count_kmers_from_reader(
+    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+) -> dict[str, int]:
+    """Count from any readable stream (reference: src/streaming.rs:513-616)."""
+    return count_kmers_from_reader_packed_result(reader, k, fmt).to_string_dict()
+
+
+def count_kmers_from_reader_packed(
+    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+) -> dict[int, int]:
+    return count_kmers_from_reader_packed_result(reader, k, fmt).to_packed_dict()
+
+
+def count_kmers_from_reader_packed_result(
+    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+) -> PackedCounts:
+    data = reader.read()
+    if isinstance(data, str):
+        data = data.encode("ascii", errors="surrogateescape")
+    streams = parse_to_streams(data, fmt.resolve(None))
+    return count_streams(streams, KmerLength(k).get())
+
+
+def count_kmers_stdin(k: int) -> dict[str, int]:
+    """Count from stdin, default FASTA (reference: src/streaming.rs:315-332)."""
+    return count_kmers_stdin_with_format(k, SequenceFormat.AUTO)
+
+
+def count_kmers_stdin_with_format(k: int, fmt: SequenceFormat) -> dict[str, int]:
+    resolved = fmt.resolve(None)
+    return count_kmers_from_reader(sys.stdin.buffer, k, resolved)
+
+
+def count_kmers_from_sequences(
+    sequences: Iterable[bytes | str], k: int
+) -> dict[str, int]:
+    """Count over in-memory sequences (reference: src/streaming.rs:423-509)."""
+    streams = streams_from_sequences(list(sequences))
+    return count_streams(streams, KmerLength(k).get()).to_string_dict()
+
+
+def count_kmers_from_sequences_packed(
+    sequences: Iterable[bytes | str], k: int
+) -> dict[int, int]:
+    streams = streams_from_sequences(list(sequences))
+    return count_streams(streams, KmerLength(k).get()).to_packed_dict()
+
+
+# --- run-and-print API (reference: src/run.rs:66-200) --------------------------------
+
+
+def run(path: str | os.PathLike, k: int) -> None:
+    """Count and print in the default format (reference: src/run.rs:66-96)."""
+    run_with_options(path, k, OutputFormat.FASTA, 1)
+
+
+def run_with_options(
+    path: str | os.PathLike,
+    k: int,
+    fmt: OutputFormat,
+    min_count: int = 1,
+    out: TextIO | None = None,
+) -> None:
+    """Count and print with format/min-count (reference: src/run.rs:131-160)."""
+    counts = count_kmers(path, k)
+    output_counts(counts, fmt, min_count, out)
+
+
+def run_with_input(
+    input_: Input, k: int, fmt: OutputFormat, min_count: int = 1,
+    out: TextIO | None = None,
+) -> None:
+    """Count from an Input (file or stdin) and print
+    (reference: src/run.rs:163-180)."""
+    run_with_quality(input_, k, fmt, min_count, SequenceFormat.AUTO, None, out)
+
+
+def run_with_input_format(
+    input_: Input,
+    k: int,
+    fmt: OutputFormat,
+    min_count: int,
+    input_format: SequenceFormat,
+    out: TextIO | None = None,
+) -> None:
+    run_with_quality(input_, k, fmt, min_count, input_format, None, out)
+
+
+def run_with_quality(
+    input_: Input,
+    k: int,
+    fmt: OutputFormat,
+    min_count: int,
+    input_format: SequenceFormat,
+    min_quality: int | None,
+    out: TextIO | None = None,
+) -> None:
+    """Full-option run (reference: src/run.rs:185-200). Stdin does not support
+    quality filtering (reference: src/run.rs:193-198)."""
+    counts = count_with_input(input_, k, input_format, min_quality)
+    output_counts(counts.to_string_dict(), fmt, min_count, out)
+
+
+def count_with_input(
+    input_: Input,
+    k: int,
+    input_format: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+    config: EngineConfig | None = None,
+    progress: ProgressCallback | None = None,
+) -> PackedCounts:
+    """Count from an :class:`Input`, returning the packed result."""
+    if input_.is_stdin:
+        # stdin path: quality filtering unsupported (reference: src/run.rs:193-198)
+        return _count_path(None, k, input_format, None, config, progress)
+    return _count_path(input_.path, k, input_format, min_quality, config, progress)

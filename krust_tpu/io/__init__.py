@@ -1,0 +1,17 @@
+"""Input abstraction, format detection, sequence readers, and the host packer."""
+
+from .format import SequenceFormat
+from .input import Input
+from .reader import SequenceWithQuality, read_records, read_records_with_quality
+from .packer import PackedBatch, pack_buffer, blockize
+
+__all__ = [
+    "Input",
+    "SequenceFormat",
+    "SequenceWithQuality",
+    "read_records",
+    "read_records_with_quality",
+    "PackedBatch",
+    "pack_buffer",
+    "blockize",
+]

@@ -1,0 +1,17 @@
+"""Counting engines (the pipeline "models"): device batch, streaming, sequential."""
+
+from .engines import (
+    PackedCounts,
+    BatchEngine,
+    NumpyEngine,
+    SequentialEngine,
+    count_streams,
+)
+
+__all__ = [
+    "PackedCounts",
+    "BatchEngine",
+    "NumpyEngine",
+    "SequentialEngine",
+    "count_streams",
+]

@@ -1,0 +1,352 @@
+"""Counting engines.
+
+Three interchangeable engines produce identical results (a determinism
+contract tested in tests/test_engines.py):
+
+- :class:`BatchEngine` — the TPU path. Haloed block tensors stream to the
+  device in fixed-shape batches; a fused jitted step runs the rolling codec
+  (:mod:`krust_tpu.ops.codec`) and sort-based counting
+  (:mod:`krust_tpu.ops.count`); compacted per-batch uniques merge on host.
+  Replaces the reference's rayon + dashmap engine (reference: src/run.rs:489-583).
+- :class:`NumpyEngine` — the same algorithm in pure numpy uint64 on host.
+  Fallback when no accelerator is usable, and the differential oracle.
+- :class:`SequentialEngine` — record-at-a-time counting (numpy per record),
+  mirroring the reference's single-threaded paths
+  (reference: src/streaming.rs:665-830).
+
+All engines consume :class:`~krust_tpu.io.reader.ParsedStreams` and return
+:class:`PackedCounts`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import numpy as np
+
+from ..io.packer import PackedBatch, pack_buffer
+from ..io.reader import ParsedStreams
+from ..kmer import INVALID_CODE, unpack_many
+from ..utils.config import EngineConfig
+from ..utils.progress import Progress, ProgressTracker
+from ..utils.tracing import span, trace_event
+
+ProgressCallback = Callable[[Progress], None]
+
+
+@dataclass
+class PackedCounts:
+    """Final counting result: sorted distinct canonical codes and counts.
+
+    ``codes``/``counts`` are uint64 numpy arrays sorted by code. Counts use
+    u64 accumulation; saturation at u64::MAX matches the reference contract
+    (reference: src/run.rs:569) though it is unreachable for physical inputs.
+    """
+
+    k: int
+    codes: np.ndarray
+    counts: np.ndarray
+
+    @property
+    def distinct(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def to_packed_dict(self) -> dict[int, int]:
+        return dict(zip(self.codes.tolist(), self.counts.tolist()))
+
+    def to_string_dict(self) -> dict[str, int]:
+        strings = unpack_many(self.codes, self.k)
+        return dict(zip(strings, self.counts.tolist()))
+
+    def get(self, packed: int) -> int:
+        i = np.searchsorted(self.codes, np.uint64(packed))
+        if i < self.codes.shape[0] and self.codes[i] == np.uint64(packed):
+            return int(self.counts[i])
+        return 0
+
+    @classmethod
+    def empty(cls, k: int) -> "PackedCounts":
+        return cls(k, np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+
+
+class _HostAccumulator:
+    """Merges per-batch (codes, counts) partials into one sorted table.
+
+    Compacts lazily: partials concatenate until ``threshold`` entries, then a
+    sort-merge collapses duplicates — amortized O(n log n) host work that
+    overlaps with device compute of subsequent batches.
+    """
+
+    def __init__(self, threshold: int = 64_000_000):
+        self._codes: list[np.ndarray] = []
+        self._counts: list[np.ndarray] = []
+        self._pending = 0
+        self._threshold = threshold
+
+    def add(self, codes: np.ndarray, counts: np.ndarray) -> None:
+        if codes.shape[0] == 0:
+            return
+        self._codes.append(np.asarray(codes, np.uint64))
+        self._counts.append(np.asarray(counts, np.uint64))
+        self._pending += codes.shape[0]
+        if self._pending > self._threshold:
+            self._compact()
+
+    def _compact(self) -> None:
+        merged = _merge_partials(self._codes, self._counts)
+        self._codes = [merged[0]]
+        self._counts = [merged[1]]
+        self._pending = merged[0].shape[0]
+
+    def result(self) -> tuple[np.ndarray, np.ndarray]:
+        self._compact()
+        return self._codes[0], self._counts[0]
+
+
+def _merge_partials(
+    codes_list: list[np.ndarray], counts_list: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    if not codes_list:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    codes = np.concatenate(codes_list)
+    counts = np.concatenate(counts_list)
+    uniq, inverse = np.unique(codes, return_inverse=True)
+    sums = np.zeros(uniq.shape[0], dtype=np.uint64)
+    np.add.at(sums, inverse, counts)
+    return uniq, sums
+
+
+def _quality_threshold(min_quality: int | None) -> int | None:
+    """Phred threshold -> ASCII threshold, saturating (reference: src/run.rs:538)."""
+    if min_quality is None:
+        return None
+    return min(min_quality + 33, 255)
+
+
+# --- numpy host engine -----------------------------------------------------------
+
+
+def count_stream_numpy(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    k: int,
+    quality_threshold: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling canonical encode + count on host in uint64.
+
+    Same semantics as the device codec (see ops/codec.py docstring); numpy
+    has native 64-bit lanes so no hi/lo split is needed.
+    """
+    t = codes.shape[0] - k + 1
+    if t <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    good = codes < INVALID_CODE
+    if qual is not None and quality_threshold is not None:
+        good = good & (qual >= quality_threshold)
+    b = np.where(good, codes, 0).astype(np.uint64)
+    comp = np.where(good, 3 - codes.astype(np.int64), 0).astype(np.uint64)
+
+    fwd = np.zeros(t, np.uint64)
+    rc = np.zeros(t, np.uint64)
+    valid = np.ones(t, bool)
+    for j in range(k):
+        fwd = (fwd << np.uint64(2)) | b[j : j + t]
+        rc = (rc << np.uint64(2)) | comp[k - 1 - j : k - 1 - j + t]
+        valid &= good[j : j + t]
+    canon = np.minimum(fwd, rc)
+    return np.unique(canon[valid], return_counts=True)
+
+
+class NumpyEngine:
+    """Pure-host engine; exact, no accelerator required."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+
+    def count(
+        self,
+        streams: ParsedStreams,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        thr = _quality_threshold(min_quality) if streams.qual is not None else None
+        with span("process_sequences", engine="numpy", k=k):
+            uniq, cnt = count_stream_numpy(streams.codes, streams.qual, k, thr)
+        if tracker is not None:
+            tracker.record_batch(streams.n_records, streams.n_bases)
+            if progress is not None:
+                progress(tracker.snapshot())
+        counts = cnt.astype(np.uint64)
+        return PackedCounts(k, uniq, counts)
+
+
+# --- device batch engine ----------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "quality_threshold"))
+def _encode_count_step(codes, qual, k, quality_threshold):
+    from ..ops.codec import encode_blocks
+    from ..ops.count import count_unique
+
+    hi, lo, valid = encode_blocks(codes, k, qual, quality_threshold)
+    return count_unique(hi, lo, valid)
+
+
+class BatchEngine:
+    """Device engine: stream fixed-shape batches through a fused jitted step.
+
+    Batches are padded to power-of-two row buckets so at most
+    ``log2(batch_rows)`` distinct shapes are ever compiled.
+    """
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+
+    def _bucket_rows(self, rows: int) -> int:
+        cap = self.config.batch_rows
+        b = 8
+        while b < rows and b < cap:
+            b *= 2
+        return max(b, rows) if rows > cap else b
+
+    def _pad_batch(self, batch: PackedBatch) -> PackedBatch:
+        rows = batch.codes.shape[0]
+        target = self._bucket_rows(rows)
+        if target == rows:
+            return batch
+        pad = target - rows
+        codes = np.vstack(
+            [batch.codes, np.full((pad, batch.codes.shape[1]), INVALID_CODE, np.uint8)]
+        )
+        qual = None
+        if batch.qual is not None:
+            qual = np.vstack(
+                [batch.qual, np.full((pad, batch.qual.shape[1]), 0xFF, np.uint8)]
+            )
+        return PackedBatch(codes, qual, batch.n_windows, batch.block_windows)
+
+    def count(
+        self,
+        streams: ParsedStreams,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        cfg = self.config
+        thr = _quality_threshold(min_quality) if streams.qual is not None else None
+        acc = _HostAccumulator(cfg.host_compact_threshold)
+
+        qual_stream = streams.qual if thr is not None else None
+        batches = pack_buffer(
+            streams.codes, qual_stream, k, cfg.block_windows, cfg.batch_rows
+        )
+        done_windows = 0
+        for batch in batches:
+            batch = self._pad_batch(batch)
+            with span("encode_count_batch", rows=batch.codes.shape[0]):
+                u_hi, u_lo, u_cnt, n_u = _encode_count_step(
+                    jax.numpy.asarray(batch.codes),
+                    None if batch.qual is None else jax.numpy.asarray(batch.qual),
+                    k,
+                    thr,
+                )
+                n = int(n_u)
+                if n > 0:
+                    hi = np.asarray(u_hi[:n], dtype=np.uint64)
+                    lo = np.asarray(u_lo[:n], dtype=np.uint64)
+                    cnt = np.asarray(u_cnt[:n], dtype=np.uint64)
+                    acc.add((hi << np.uint64(32)) | lo, cnt)
+            done_windows += batch.n_windows
+            if tracker is not None:
+                # approximate per-batch sequence attribution: report batch
+                # completion in bases; sequence totals land on the last batch
+                pass
+        if tracker is not None:
+            tracker.record_batch(streams.n_records, streams.n_bases)
+            if progress is not None:
+                progress(tracker.snapshot())
+        codes64, counts64 = acc.result()
+        trace_event("unpack_kmers", unique_kmers=int(codes64.shape[0]))
+        return PackedCounts(k, codes64, counts64)
+
+
+# --- sequential engine -------------------------------------------------------------
+
+
+class SequentialEngine:
+    """Record-at-a-time engine (reference: src/streaming.rs:665-830).
+
+    Processes each record independently and merges — useful for bounded-memory
+    pipes and as a third differential implementation.
+    """
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+
+    def count_records(
+        self,
+        records,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        from ..kmer import BASE_LUT
+
+        acc = _HostAccumulator()
+        for rec in records:
+            seq = rec.seq if hasattr(rec, "seq") else rec
+            qual = rec.qual if hasattr(rec, "qual") else None
+            codes = BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
+            qarr = (
+                np.frombuffer(qual, dtype=np.uint8) if qual is not None else None
+            )
+            thr = _quality_threshold(min_quality) if qarr is not None else None
+            uniq, cnt = count_stream_numpy(codes, qarr, k, thr)
+            acc.add(uniq, cnt.astype(np.uint64))
+            if tracker is not None:
+                tracker.record_sequence(len(seq))
+                if progress is not None:
+                    progress(tracker.snapshot())
+        codes64, counts64 = acc.result()
+        return PackedCounts(k, codes64, counts64)
+
+
+# --- engine selection ---------------------------------------------------------------
+
+
+def _jax_usable() -> bool:
+    try:
+        import jax
+
+        jax.devices()
+        return True
+    except Exception:
+        return False
+
+
+def count_streams(
+    streams: ParsedStreams,
+    k: int,
+    min_quality: int | None = None,
+    config: EngineConfig | None = None,
+    progress: ProgressCallback | None = None,
+    tracker: ProgressTracker | None = None,
+) -> PackedCounts:
+    """Count with the best available engine (device if usable, else numpy)."""
+    cfg = config or EngineConfig()
+    if cfg.use_numpy_backend or not _jax_usable():
+        engine = NumpyEngine(cfg)
+    else:
+        engine = BatchEngine(cfg)
+    return engine.count(streams, k, min_quality, progress, tracker)

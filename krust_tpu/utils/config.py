@@ -1,0 +1,32 @@
+"""Runtime engine configuration.
+
+Replaces the reference's compile-time cargo feature matrix
+(reference: Cargo.toml:47-64) with one runtime dataclass: gzip/mmap/tracing
+are always available; knobs that were features become fields here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for the device counting pipeline."""
+
+    #: windows per block row (last-dim extent is block_windows + k - 1)
+    block_windows: int = 4096
+
+    #: max rows per device batch; bounds HBM footprint for huge inputs.
+    #: 2048 rows x 4096 windows = 8.4M windows/batch.
+    batch_rows: int = 2048
+
+    #: host-side partial-results compaction threshold (entries)
+    host_compact_threshold: int = 64_000_000
+
+    #: force the numpy host backend (no jax) — used on machines without a
+    #: usable accelerator and for differential testing
+    use_numpy_backend: bool = False
+
+    #: use the Pallas TPU kernel for the rolling codec when available
+    use_pallas: bool = True

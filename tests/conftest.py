@@ -1,0 +1,50 @@
+"""Test harness config: force CPU with an 8-device virtual mesh.
+
+Must run before jax initializes a backend. The container's site config pins
+``jax_platforms`` to the TPU tunnel; tests run on a virtual 8-device CPU mesh
+instead (fast, and exercises the multi-chip sharding paths per SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["KRUST_PLATFORM"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gzip
+import shutil
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(tmp_path_factory):
+    """Fixture dir containing the plain files plus generated .gz twins."""
+    d = tmp_path_factory.mktemp("fixtures")
+    for name in os.listdir(FIXTURES):
+        src = os.path.join(FIXTURES, name)
+        shutil.copy(src, d / name)
+        if name in ("simple.fa", "simple.fq"):
+            with open(src, "rb") as f_in, gzip.open(d / (name + ".gz"), "wb") as f_out:
+                f_out.write(f_in.read())
+    return d
+
+
+@pytest.fixture()
+def simple_fa(fixtures_dir):
+    return str(fixtures_dir / "simple.fa")
+
+
+@pytest.fixture()
+def simple_fq(fixtures_dir):
+    return str(fixtures_dir / "simple.fq")

@@ -1,0 +1,187 @@
+"""Library API tests with exact-count oracles (mirrors reference
+tests/library_tests.rs + streaming/quality suites)."""
+
+import gzip
+import io
+
+import pytest
+
+import krust_tpu as kt
+from krust_tpu.io.format import SequenceFormat
+
+import oracle
+
+
+def write(tmp_path, name, content: str):
+    p = tmp_path / name
+    p.write_bytes(content.encode())
+    return str(p)
+
+
+class TestExactCounts:
+    def test_acgt_k3(self, tmp_path):
+        # reference: library_tests.rs:22-33 — ACGT, k=3 -> {ACG: 2}
+        # (ACG canonical; CGT's revcomp is ACG)
+        p = write(tmp_path, "x.fa", ">s\nACGT\n")
+        assert kt.count_kmers(p, 3) == {"ACG": 2}
+
+    def test_canonical_only_output(self, tmp_path):
+        # reference: library_tests.rs:54-64 — TTT -> AAA
+        p = write(tmp_path, "x.fa", ">s\nTTT\n")
+        assert kt.count_kmers(p, 3) == {"AAA": 1}
+
+    def test_n_gap(self, tmp_path):
+        # reference: library_tests.rs:66-80 — ACGNACG k=3 -> {ACG: 2}
+        p = write(tmp_path, "x.fa", ">s\nACGNACG\n")
+        assert kt.count_kmers(p, 3) == {"ACG": 2}
+
+    def test_k1_complement_folding(self, tmp_path):
+        # reference: library_tests.rs:129-140 — ACGT k=1 -> A:2, C:2
+        p = write(tmp_path, "x.fa", ">s\nACGT\n")
+        assert kt.count_kmers(p, 1) == {"A": 2, "C": 2}
+
+    def test_homopolymer(self, tmp_path):
+        # reference: AAAAA k=3 -> AAA:3
+        p = write(tmp_path, "x.fa", ">s\nAAAAA\n")
+        assert kt.count_kmers(p, 3) == {"AAA": 3}
+
+    def test_k32_max(self, tmp_path):
+        seq = "ACGT" * 8
+        p = write(tmp_path, "x.fa", f">s\n{seq}\n")
+        got = kt.count_kmers(p, 32)
+        assert got == {oracle.canonical(seq): 1}
+
+    def test_seq_equals_rc_seq(self, tmp_path):
+        # reference: library_tests.rs:219-230
+        seq = "GATTACA"
+        rc = oracle.revcomp(seq)
+        p1 = write(tmp_path, "a.fa", f">s\n{seq}\n")
+        p2 = write(tmp_path, "b.fa", f">s\n{rc}\n")
+        assert kt.count_kmers(p1, 4) == kt.count_kmers(p2, 4)
+
+    def test_soft_mask(self, fixtures_dir):
+        # reference: integration_tests.rs:263-281 — AAAa k=3 -> AAA:2
+        assert kt.count_kmers(str(fixtures_dir / "soft_masked.fa"), 3) == {"AAA": 2}
+
+    def test_simple_fixture_all_k(self, simple_fa):
+        seqs = ["ACGTACGT", "GATTACA"]
+        for k in range(1, 33):
+            assert kt.count_kmers(simple_fa, k) == oracle.count_sequences(seqs, k), k
+
+    def test_shorter_than_k(self, tmp_path):
+        p = write(tmp_path, "x.fa", ">s\nACG\n")
+        assert kt.count_kmers(p, 5) == {}
+
+    def test_invalid_k(self, simple_fa):
+        with pytest.raises(kt.KmerLengthError):
+            kt.count_kmers(simple_fa, 0)
+        with pytest.raises(kt.KmerLengthError):
+            kt.count_kmers(simple_fa, 33)
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            kt.count_kmers("/nonexistent/path.fa", 3)
+
+
+class TestFormatsAndSources:
+    def test_fasta_fastq_equal(self, simple_fa, simple_fq):
+        assert kt.count_kmers(simple_fa, 3) == kt.count_kmers(simple_fq, 3)
+
+    def test_gzip_equals_plain(self, fixtures_dir):
+        plain = kt.count_kmers(str(fixtures_dir / "simple.fa"), 5)
+        gz = kt.count_kmers(str(fixtures_dir / "simple.fa.gz"), 5)
+        assert plain == gz
+
+    def test_explicit_format(self, tmp_path):
+        # FASTQ content with a .txt extension needs explicit format
+        p = write(tmp_path, "reads.txt", "@s\nACGT\n+\nIIII\n")
+        got = kt.count_kmers_with_format(p, 3, SequenceFormat.FASTQ)
+        assert got == {"ACG": 2}
+
+    def test_from_reader(self):
+        buf = io.BytesIO(b">s\nACGT\n")
+        assert kt.count_kmers_from_reader(buf, 3) == {"ACG": 2}
+
+    def test_from_reader_fastq(self):
+        buf = io.BytesIO(b"@s\nACGT\n+\nIIII\n")
+        got = kt.count_kmers_from_reader(buf, 3, SequenceFormat.FASTQ)
+        assert got == {"ACG": 2}
+
+    def test_from_sequences(self):
+        # reference: streaming.rs count_kmers_from_sequences
+        assert kt.count_kmers_from_sequences(["ACGT", "ACGT"], 3) == {"ACG": 4}
+
+    def test_mmap_equals_regular(self, simple_fa):
+        # reference: tests/mmap_tests.rs
+        assert kt.count_kmers_mmap(simple_fa, 5) == kt.count_kmers(simple_fa, 5)
+
+    def test_streaming_equals_batch(self, simple_fa):
+        assert kt.count_kmers_streaming(simple_fa, 5) == kt.count_kmers(simple_fa, 5)
+
+    def test_sequential_equals_batch(self, simple_fa):
+        assert kt.count_kmers_sequential(simple_fa, 5) == kt.count_kmers(simple_fa, 5)
+
+    def test_packed_consistent(self, simple_fa):
+        packed = kt.count_kmers_packed(simple_fa, 5)
+        strings = kt.count_kmers(simple_fa, 5)
+        assert len(packed) == len(strings)
+        assert {kt.unpack_to_string(c, 5): n for c, n in packed.items()} == strings
+
+
+class TestQuality:
+    def test_q20_filters_low_quality(self, fixtures_dir):
+        # reference: tests/quality_tests.rs — low_quality.fq: ACGTACGT with
+        # IIII!!!! ('!' = Phred 0) + GATTACA all-I (Phred 40)
+        p = str(fixtures_dir / "low_quality.fq")
+        unfiltered = kt.count_kmers_with_quality(p, 4, SequenceFormat.FASTQ, None)
+        filtered = kt.count_kmers_with_quality(p, 4, SequenceFormat.FASTQ, 20)
+        assert sum(filtered.values()) < sum(unfiltered.values())
+        # only the first 4 bases of seq1 pass: exactly 1 window (ACGT),
+        # plus all 4 windows of GATTACA
+        exp = oracle.count_sequences(
+            [("ACGTACGT", "IIII!!!!"), ("GATTACA", "IIIIIII")], 4, min_quality=20
+        )
+        assert filtered == exp
+
+    def test_q0_no_op(self, fixtures_dir):
+        p = str(fixtures_dir / "low_quality.fq")
+        q0 = kt.count_kmers_with_quality(p, 4, SequenceFormat.FASTQ, 0)
+        # '!' = 33 = Phred 0, threshold 0+33=33, so nothing is below it
+        none = kt.count_kmers_with_quality(p, 4, SequenceFormat.FASTQ, None)
+        assert q0 == none
+
+    def test_high_quality_unaffected(self, simple_fq):
+        q = kt.count_kmers_with_quality(simple_fq, 3, SequenceFormat.FASTQ, 30)
+        no_q = kt.count_kmers(simple_fq, 3)
+        assert q == no_q
+
+    def test_fasta_ignores_quality(self, simple_fa):
+        # quality filter is a no-op for FASTA (no quality stream)
+        got = kt.count_kmers_with_quality(simple_fa, 3, SequenceFormat.FASTA, 40)
+        assert got == kt.count_kmers(simple_fa, 3)
+
+
+class TestProgress:
+    def test_progress_fires_and_matches(self, simple_fa):
+        # reference: tests/progress_tests.rs — callback fires; totals exact
+        snaps = []
+        counts = kt.count_kmers_with_progress(simple_fa, 3, snaps.append)
+        assert counts == kt.count_kmers(simple_fa, 3)
+        assert len(snaps) >= 1
+        assert snaps[-1].sequences_processed == 2
+        assert snaps[-1].bases_processed == 15
+
+
+class TestRunApis:
+    def test_run_with_options_tsv(self, simple_fa, capsys):
+        kt.run_with_options(simple_fa, 3, kt.OutputFormat.TSV)
+        out = capsys.readouterr().out
+        lines = dict(
+            (l.split("\t")[0], int(l.split("\t")[1]))
+            for l in out.strip().splitlines()
+        )
+        assert lines == oracle.count_sequences(["ACGTACGT", "GATTACA"], 3)
+
+    def test_run_with_input(self, simple_fa, capsys):
+        kt.run_with_input(kt.Input.from_path(simple_fa), 3, kt.OutputFormat.TSV, 1)
+        assert capsys.readouterr().out.strip()

@@ -1,0 +1,146 @@
+"""Device codec + count op tests: jnp vs numpy vs brute-force oracle.
+
+The three implementations (jax device codec, numpy host codec, python
+string oracle) are developed independently and must agree exactly —
+the property/differential strategy from reference tests/property_tests.rs.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from krust_tpu.io.packer import blockize
+from krust_tpu.io.reader import streams_from_sequences
+from krust_tpu.kmer import unpack_many
+from krust_tpu.models.engines import count_stream_numpy
+from krust_tpu.ops.codec import combine64, encode_blocks
+from krust_tpu.ops.count import count_unique
+
+import oracle
+
+
+def device_count(streams, k, threshold=None):
+    """Run the full device path: blockize -> encode -> count -> dict."""
+    batch = blockize(streams.codes, streams.qual, k, block_windows=256)
+    hi, lo, valid = encode_blocks(
+        np.asarray(batch.codes),
+        k,
+        None if batch.qual is None or threshold is None else np.asarray(batch.qual),
+        threshold,
+    )
+    u_hi, u_lo, u_cnt, n = count_unique(
+        np.asarray(hi), np.asarray(lo), np.asarray(valid)
+    )
+    n = int(n)
+    codes64 = combine64(np.asarray(u_hi)[:n], np.asarray(u_lo)[:n])
+    counts = np.asarray(u_cnt)[:n]
+    return dict(zip(unpack_many(codes64, k), counts.tolist()))
+
+
+def numpy_count(streams, k, threshold=None):
+    uniq, cnt = count_stream_numpy(streams.codes, streams.qual, k, threshold)
+    return dict(zip(unpack_many(uniq, k), cnt.tolist()))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 11, 16, 17, 21, 31, 32])
+def test_differential_random_dna(k):
+    rng = random.Random(42 + k)
+    seqs = [oracle.random_dna(rng, rng.randint(0, 120)) for _ in range(20)]
+    expected = oracle.count_sequences(seqs, k)
+    streams = streams_from_sequences(seqs)
+    assert numpy_count(streams, k) == expected
+    assert device_count(streams, k) == expected
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 17, 21, 32])
+def test_differential_with_n_and_case(k):
+    rng = random.Random(77 + k)
+    seqs = [
+        oracle.random_dna(rng, rng.randint(0, 90), "ACGTacgtNnX")
+        for _ in range(20)
+    ]
+    expected = oracle.count_sequences(seqs, k)
+    streams = streams_from_sequences(seqs)
+    assert numpy_count(streams, k) == expected
+    assert device_count(streams, k) == expected
+
+
+@pytest.mark.parametrize("k", [3, 5, 21])
+def test_differential_quality(k):
+    rng = random.Random(99 + k)
+    records = []
+    for _ in range(15):
+        n = rng.randint(0, 80)
+        seq = oracle.random_dna(rng, n)
+        qual = "".join(chr(rng.randint(33, 73)) for _ in range(n))
+        records.append((seq, qual))
+    min_q = 20
+    threshold = min_q + 33
+    expected = oracle.count_sequences(records, k, min_quality=min_q)
+    streams = streams_from_sequences(
+        [s for s, _ in records], [q.encode() for _, q in records]
+    )
+    assert numpy_count(streams, k, threshold) == expected
+    assert device_count(streams, k, threshold) == expected
+
+
+def test_sum_counts_bounded_by_windows():
+    # reference: tests/property_tests.rs:265-286
+    rng = random.Random(5)
+    for _ in range(20):
+        k = rng.randint(1, 16)
+        seqs = [oracle.random_dna(rng, rng.randint(0, 60)) for _ in range(5)]
+        streams = streams_from_sequences(seqs)
+        got = numpy_count(streams, k)
+        windows = sum(max(len(s) - k + 1, 0) for s in seqs)
+        assert sum(got.values()) <= windows
+        # pure-ACGT input: equality
+        assert sum(got.values()) == windows
+
+
+def test_kmer_plus_rc_counts_two():
+    # reference: tests/property_tests.rs:293-330
+    rng = random.Random(6)
+    for _ in range(20):
+        k = rng.randint(1, 32)
+        s = oracle.random_dna(rng, k)
+        streams = streams_from_sequences([s, oracle.revcomp(s)])
+        got = numpy_count(streams, k)
+        assert got == {oracle.canonical(s): 2}
+
+
+def test_empty_and_short_inputs():
+    streams = streams_from_sequences([])
+    assert numpy_count(streams, 5) == {}
+    assert device_count(streams, 5) == {}
+    streams = streams_from_sequences(["ACG"])
+    assert numpy_count(streams, 5) == {}
+    assert device_count(streams, 5) == {}
+
+
+def test_all_invalid():
+    streams = streams_from_sequences(["NNNNNNNN"])
+    assert numpy_count(streams, 3) == {}
+    assert device_count(streams, 3) == {}
+
+
+def test_batch_shape_independence():
+    """Counts must be identical across block/batch geometries (determinism)."""
+    rng = random.Random(11)
+    seqs = [oracle.random_dna(rng, 500) for _ in range(4)]
+    streams = streams_from_sequences(seqs)
+    k = 21
+    expected = oracle.count_sequences(seqs, k)
+    for w in (64, 128, 1000):
+        batch = blockize(streams.codes, None, k, block_windows=w)
+        hi, lo, valid = encode_blocks(np.asarray(batch.codes), k)
+        u_hi, u_lo, u_cnt, n = count_unique(
+            np.asarray(hi), np.asarray(lo), np.asarray(valid)
+        )
+        n = int(n)
+        codes64 = combine64(np.asarray(u_hi)[:n], np.asarray(u_lo)[:n])
+        got = dict(
+            zip(unpack_many(codes64, k), np.asarray(u_cnt)[:n].tolist())
+        )
+        assert got == expected, f"mismatch at block_windows={w}"

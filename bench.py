@@ -1,0 +1,105 @@
+"""Benchmark: end-to-end canonical k-mer counting throughput at k=21.
+
+Workload (mirrors BASELINE.json config 2's shape): synthetic sequencing reads
+at ~32x coverage of a 4 Mbase genome — 128 Mbases of 250 bp reads — counted
+end-to-end (parse -> pack -> device rolling codec -> device sort-count ->
+host merge), excluding compilation (one warmup batch) and output formatting,
+matching the reference's criterion macro-bench scope
+(reference: benches/kmer_benchmark.rs:127-188).
+
+Baseline: the reference publishes no numbers (BASELINE.md). The operative
+baseline is 64-thread kmerust on the same workload; its hot loop allocates a
+Bytes per window (reference: src/run.rs:526-563 via kmer.rs:266-286), which
+bounds it well under ~8 Mbases/s/thread; we credit it 500 Mbases/s at 64
+threads (generous — dashmap contention ignored).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BASES_PER_S = 500e6  # credited 64-thread kmerust throughput
+K = 21
+GENOME_MBASES = 4
+COVERAGE = 32
+READ_LEN = 250
+
+
+def make_reads(rng: np.random.Generator):
+    """Synthetic reads: COVERAGE x random substrings of one random genome."""
+    genome = rng.integers(0, 4, size=GENOME_MBASES * 1_000_000, dtype=np.uint8)
+    n_reads = (genome.shape[0] * COVERAGE) // READ_LEN
+    starts = rng.integers(0, genome.shape[0] - READ_LEN, size=n_reads)
+    idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+    reads = genome[idx]  # [n_reads, READ_LEN] of 2-bit codes
+    return reads
+
+
+def reads_to_stream(reads: np.ndarray) -> np.ndarray:
+    """Code rows -> flat separator-delimited stream (reader output format)."""
+    from krust_tpu.kmer import INVALID_CODE
+
+    n, L = reads.shape
+    out = np.full(n * (L + 1) - 1, INVALID_CODE, dtype=np.uint8)
+    j = np.arange(n * L)
+    out[j + j // L] = reads.reshape(-1)  # shift each read by #separators before it
+    return out
+
+
+def main() -> None:
+    import jax
+
+    os.makedirs("/tmp/krust_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/krust_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from krust_tpu.io.reader import ParsedStreams
+    from krust_tpu.models.engines import BatchEngine
+    from krust_tpu.utils.config import EngineConfig
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(7)
+
+    reads = make_reads(rng)
+    n_bases = int(reads.size)
+    stream = reads_to_stream(reads)
+    streams = ParsedStreams(stream, None, reads.shape[0], n_bases)
+
+    cfg = EngineConfig(block_windows=4096, batch_rows=2048)
+    engine = BatchEngine(cfg)
+
+    # warmup: compile all batch shapes on a small prefix
+    warm = ParsedStreams(stream[: cfg.block_windows * cfg.batch_rows + K], None, 1, 1)
+    engine.count(warm, K)
+
+    t0 = time.perf_counter()
+    result = engine.count(streams, K)
+    elapsed = time.perf_counter() - t0
+
+    bases_per_s = n_bases / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"bases_per_second_k{K}",
+                "value": round(bases_per_s, 1),
+                "unit": "bases/s",
+                "vs_baseline": round(bases_per_s / BASELINE_BASES_PER_S, 3),
+            }
+        )
+    )
+    print(
+        f"# platform={platform} elapsed={elapsed:.3f}s bases={n_bases} "
+        f"distinct={result.distinct} total={result.total}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,8 @@ from .index import KmerIndex, load_index, save_index
 from .io.format import SequenceFormat
 from .io.input import Input
 from .kmer import (
+    Kmer,
+    KmerBase,
     KmerLength,
     canonical_packed,
     canonical_string,
@@ -118,6 +120,8 @@ __all__ = [
     # builder
     "KmerCounter",
     # kmer core
+    "Kmer",
+    "KmerBase",
     "KmerLength",
     "pack",
     "unpack_to_bytes",

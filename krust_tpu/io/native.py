@@ -1,0 +1,140 @@
+"""ctypes loader for the native C++ parser (graceful numpy fallback).
+
+Builds ``krust_native.cpp`` with g++ on first use (cached as a .so beside the
+source; rebuilt when the source changes). Disable with ``KRUST_NO_NATIVE=1``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..errors import FormatError
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "krust_native.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LOAD_FAILED = False
+
+_ERRORS = {
+    1: "FASTA input does not start with a '>' header line",
+    2: "FASTQ input line count is not a multiple of 4",
+    3: "FASTQ record header does not start with '@'",
+    4: "FASTQ separator line does not start with '+'",
+    5: "FASTQ sequence and quality lengths differ",
+}
+
+
+def _build_lib() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    lib_path = os.path.join(
+        os.path.dirname(_SRC), f"libkrust_native_{digest}.so"
+    )
+    if os.path.exists(lib_path):
+        return lib_path
+    tmp = lib_path + f".tmp{os.getpid()}"
+    subprocess.run(
+        [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            "-o", tmp, _SRC,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, lib_path)
+    return lib_path
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _LIB, _LOAD_FAILED
+    if _LIB is not None or _LOAD_FAILED:
+        return _LIB
+    if os.environ.get("KRUST_NO_NATIVE"):
+        _LOAD_FAILED = True
+        return None
+    with _LOCK:
+        if _LIB is not None or _LOAD_FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(_build_lib())
+        except Exception:
+            _LOAD_FAILED = True
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.krust_parse_fasta.restype = ctypes.c_int32
+        lib.krust_parse_fasta.argtypes = [u8p, ctypes.c_int64, u8p, i64p, i64p, i64p]
+        lib.krust_parse_fastq.restype = ctypes.c_int32
+        lib.krust_parse_fastq.argtypes = [
+            u8p, ctypes.c_int64, u8p, u8p, i64p, i64p, i64p,
+        ]
+        _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _as_u8p(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def parse_fasta_native(data: bytes):
+    """FASTA bytes -> (codes stream, n_records, n_bases) or None if unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max(src.shape[0], 1), dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    n_rec = ctypes.c_int64()
+    n_bases = ctypes.c_int64()
+    status = lib.krust_parse_fasta(
+        _as_u8p(src),
+        src.shape[0],
+        _as_u8p(out),
+        ctypes.byref(out_len),
+        ctypes.byref(n_rec),
+        ctypes.byref(n_bases),
+    )
+    if status != 0:
+        raise FormatError(_ERRORS.get(status, f"parse error {status}"))
+    return out[: out_len.value], n_rec.value, n_bases.value
+
+
+def parse_fastq_native(data: bytes):
+    """FASTQ bytes -> (codes, qual, n_records, n_bases) or None if unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = max(src.shape[0], 1)
+    out_codes = np.empty(cap, dtype=np.uint8)
+    out_qual = np.empty(cap, dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    n_rec = ctypes.c_int64()
+    n_bases = ctypes.c_int64()
+    status = lib.krust_parse_fastq(
+        _as_u8p(src),
+        src.shape[0],
+        _as_u8p(out_codes),
+        _as_u8p(out_qual),
+        ctypes.byref(out_len),
+        ctypes.byref(n_rec),
+        ctypes.byref(n_bases),
+    )
+    if status != 0:
+        raise FormatError(_ERRORS.get(status, f"parse error {status}"))
+    return (
+        out_codes[: out_len.value],
+        out_qual[: out_len.value],
+        n_rec.value,
+        n_bases.value,
+    )

@@ -1,0 +1,155 @@
+// Native host parser/packer for krust_tpu.
+//
+// Single-pass FASTA/FASTQ parsers that transform raw file bytes directly into
+// the separator-delimited 2-bit code stream the device codec consumes — the
+// native-performance equivalent of the reference's reader + per-base
+// validation loops (reference: src/reader.rs:82-247, src/kmer.rs:266-286),
+// exposed over a C ABI for ctypes.
+//
+// Semantics match krust_tpu/io/reader.py exactly (differentially tested):
+//   - FASTA: '>' header lines; multi-line records concatenate; content before
+//     the first header is an error; '\r' stripped; blank lines tolerated.
+//   - FASTQ: strict 4-line records; '@' / '+' line checks; seq/qual length
+//     equality enforced.
+//   - Output: one INVALID (4) code byte between records; per-base codes via
+//     the A/C/G/T (case-insensitive) LUT, everything else -> 4.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint8_t kInvalid = 4;
+constexpr uint8_t kQualPad = 0xFF;
+
+struct Lut {
+    uint8_t table[256];
+    constexpr Lut() : table() {
+        for (int i = 0; i < 256; ++i) table[i] = kInvalid;
+        table['A'] = table['a'] = 0;
+        table['C'] = table['c'] = 1;
+        table['G'] = table['g'] = 2;
+        table['T'] = table['t'] = 3;
+    }
+};
+constexpr Lut kLut;
+
+}  // namespace
+
+extern "C" {
+
+// Error codes shared with the Python wrapper.
+enum KrustParseStatus : int32_t {
+    KRUST_OK = 0,
+    KRUST_ERR_CONTENT_BEFORE_HEADER = 1,
+    KRUST_ERR_BAD_LINE_COUNT = 2,
+    KRUST_ERR_BAD_FASTQ_HEADER = 3,
+    KRUST_ERR_BAD_FASTQ_PLUS = 4,
+    KRUST_ERR_QUAL_LEN_MISMATCH = 5,
+};
+
+// Parse FASTA bytes into a code stream.
+//   data/len:    raw file bytes
+//   out_codes:   caller buffer, capacity >= len (output never exceeds input)
+//   out_len:     emitted bytes (codes + separators)
+//   n_records:   number of '>' headers
+//   n_bases:     emitted base count (excludes separators)
+int32_t krust_parse_fasta(const uint8_t* data, int64_t len, uint8_t* out_codes,
+                          int64_t* out_len, int64_t* n_records,
+                          int64_t* n_bases) {
+    int64_t out = 0, records = 0, bases = 0;
+    bool in_header = false;
+    bool at_line_start = true;
+    bool seen_record = false;
+
+    for (int64_t i = 0; i < len; ++i) {
+        const uint8_t ch = data[i];
+        if (at_line_start) {
+            if (ch == '>') {
+                in_header = true;
+                if (seen_record) out_codes[out++] = kInvalid;
+                seen_record = true;
+                ++records;
+            } else {
+                in_header = false;
+                if (!seen_record && ch != '\n' && ch != '\r') {
+                    return KRUST_ERR_CONTENT_BEFORE_HEADER;
+                }
+            }
+            at_line_start = false;
+        }
+        if (ch == '\n') {
+            at_line_start = true;
+            continue;
+        }
+        if (ch == '\r') continue;
+        if (!in_header) {
+            out_codes[out++] = kLut.table[ch];
+            ++bases;
+        }
+    }
+    *out_len = out;
+    *n_records = records;
+    *n_bases = bases;
+    return KRUST_OK;
+}
+
+// Parse FASTQ bytes into aligned code + quality streams.
+// out_codes/out_qual capacity >= len. Quality separator byte is 0xFF.
+int32_t krust_parse_fastq(const uint8_t* data, int64_t len, uint8_t* out_codes,
+                          uint8_t* out_qual, int64_t* out_len,
+                          int64_t* n_records, int64_t* n_bases) {
+    int64_t out = 0, records = 0, bases = 0;
+    int64_t line = 0;
+    int64_t i = 0;
+    int64_t seq_len_this_record = 0;
+
+    // trailing newline runs are line terminators + empty lines; drop them
+    // (matches the Python parser's trailing-empty-line stripping)
+    while (len > 0 && (data[len - 1] == '\n' || data[len - 1] == '\r')) --len;
+
+    while (i < len) {
+        // find line end (excluding trailing \r)
+        int64_t start = i;
+        while (i < len && data[i] != '\n') ++i;
+        int64_t end = i;
+        if (end > start && data[end - 1] == '\r') --end;
+        if (i < len) ++i;  // consume '\n'
+
+        const int phase = static_cast<int>(line % 4);
+        if (phase == 0) {
+            if (end == start || data[start] != '@')
+                return KRUST_ERR_BAD_FASTQ_HEADER;
+            if (records > 0) {
+                out_codes[out] = kInvalid;
+                out_qual[out] = kQualPad;
+                ++out;
+            }
+            ++records;
+        } else if (phase == 1) {
+            seq_len_this_record = end - start;
+            for (int64_t j = start; j < end; ++j) {
+                out_codes[out + (j - start)] = kLut.table[data[j]];
+            }
+            bases += seq_len_this_record;
+        } else if (phase == 2) {
+            if (end == start || data[start] != '+')
+                return KRUST_ERR_BAD_FASTQ_PLUS;
+        } else {
+            if (end - start != seq_len_this_record)
+                return KRUST_ERR_QUAL_LEN_MISMATCH;
+            std::memcpy(out_qual + out, data + start,
+                        static_cast<size_t>(end - start));
+            out += seq_len_this_record;
+        }
+        ++line;
+    }
+    // a trailing final newline produces no extra line; partial record = error
+    if (line % 4 != 0) return KRUST_ERR_BAD_LINE_COUNT;
+    *out_len = out;
+    *n_records = records;
+    *n_bases = bases;
+    return KRUST_OK;
+}
+
+}  // extern "C"

@@ -146,8 +146,18 @@ def _parse_fasta(arr: np.ndarray):
     if starts.shape[0] == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     is_header = first == _GT
-    if not is_header[0]:
+    nonempty = ends > starts
+    if nonempty.any() and not is_header[int(np.argmax(nonempty))]:
         raise FormatError("FASTA input does not start with a '>' header line")
+    if not nonempty.any():
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    # drop anything before the first header (only blank lines can be there)
+    first_header = int(np.argmax(is_header))
+    starts, ends, is_header = (
+        starts[first_header:],
+        ends[first_header:],
+        is_header[first_header:],
+    )
     seq_mask = ~is_header
     seq_flat, line_lens = _gather_lines(arr, starts[seq_mask], ends[seq_mask])
     # record id per sequence line: number of headers before it, minus 1
@@ -243,8 +253,24 @@ def parse_to_streams(data: bytes, fmt: SequenceFormat) -> ParsedStreams:
     counted iff it contains no invalid base; reference: src/run.rs:526-563)
     while letting the whole input live in one dense tensor.
     """
-    arr = np.frombuffer(data, dtype=np.uint8)
     fmt = fmt.resolve(None) if fmt is SequenceFormat.AUTO else fmt
+
+    # native C++ single-pass parser (numpy path below is the exact fallback)
+    from . import native
+
+    if native.available():
+        if fmt.is_fastq:
+            res = native.parse_fastq_native(data)
+            if res is not None:
+                codes, qual, n_rec, n_bases = res
+                return ParsedStreams(codes, qual, n_rec, n_bases)
+        else:
+            res = native.parse_fasta_native(data)
+            if res is not None:
+                codes, n_rec, n_bases = res
+                return ParsedStreams(codes, None, n_rec, n_bases)
+
+    arr = np.frombuffer(data, dtype=np.uint8)
     if fmt.is_fastq:
         seq_flat, qual_flat, rec_lens = _parse_fastq(arr)
         n_rec = rec_lens.shape[0]

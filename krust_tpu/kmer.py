@@ -195,6 +195,90 @@ def canonical_string(seq: bytes | str, k=None) -> str:
     return unpack_to_string(bits, kk)
 
 
+# --- Kmer value type ------------------------------------------------------------
+
+
+class Kmer:
+    """A single validated k-mer with staged packing/canonicalization.
+
+    Functional analog of the reference's ``Kmer<Unpacked/Packed/Canonical>``
+    type-state machine (reference: src/kmer.rs:170-398): construction
+    validates and normalizes, :meth:`pack` computes the 2-bit code, and
+    :meth:`canonical` returns the canonical-form k-mer with
+    ``is_reverse_complement`` tracking. Python enforces the staging by
+    convention rather than types; methods are cheap and idempotent-safe.
+    """
+
+    __slots__ = ("_bytes", "_packed", "_is_rc")
+
+    def __init__(self, seq: bytes, packed: int | None, is_rc: bool):
+        self._bytes = seq
+        self._packed = packed
+        self._is_rc = is_rc
+
+    @classmethod
+    def from_sub(cls, seq: bytes | str) -> "Kmer":
+        """Validate bytes into an unpacked k-mer (reference: src/kmer.rs:266-286).
+
+        Raises :class:`InvalidBaseError` with the first bad position;
+        lowercase is normalized.
+        """
+        return cls(normalize(seq), None, False)
+
+    @property
+    def bytes(self) -> bytes:
+        return self._bytes
+
+    def pack(self) -> "Kmer":
+        """Compute the packed representation (reference: src/kmer.rs:304-313)."""
+        return Kmer(self._bytes, pack(self._bytes), self._is_rc)
+
+    @property
+    def packed_bits(self) -> int:
+        if self._packed is None:
+            raise ValueError("k-mer is not packed yet: call .pack() first")
+        return self._packed
+
+    def canonical(self) -> "Kmer":
+        """Canonical form: min(self, revcomp) (reference: src/kmer.rs:348-390)."""
+        bits = self._packed if self._packed is not None else pack(self._bytes)
+        cbits, is_rc = canonical_packed(bits, len(self._bytes))
+        if is_rc:
+            return Kmer(unpack_to_bytes(cbits, len(self._bytes)), cbits, True)
+        return Kmer(self._bytes, cbits, False)
+
+    @property
+    def is_reverse_complement(self) -> bool:
+        return self._is_rc
+
+    def __len__(self) -> int:
+        return len(self._bytes)
+
+    def __repr__(self) -> str:
+        return f"Kmer({self._bytes.decode()!r})"
+
+
+class KmerBase:
+    """Per-base byte <-> 2-bit conversions (reference: src/kmer.rs:477-624)."""
+
+    A, C, G, T = 0, 1, 2, 3
+
+    @staticmethod
+    def from_byte(byte: int) -> int:
+        code = BASE_LUT[byte]
+        if code == INVALID_CODE:
+            raise InvalidBaseError(byte, 0)
+        return int(code)
+
+    @staticmethod
+    def to_byte(code: int) -> int:
+        return int(UNPACK_LUT[code & 0b11])
+
+    @staticmethod
+    def complement(code: int) -> int:
+        return 3 - (code & 0b11)
+
+
 # --- Vectorized host helpers (numpy) ------------------------------------------
 
 

@@ -192,13 +192,25 @@ class NumpyEngine:
 # --- device batch engine ----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "quality_threshold"))
-def _encode_count_step(codes, qual, k, quality_threshold):
+@functools.partial(
+    jax.jit, static_argnames=("k", "quality_threshold", "use_pallas")
+)
+def _encode_count_step(codes, qual, k, quality_threshold, use_pallas=False):
     from ..ops.codec import encode_blocks
     from ..ops.count import count_unique
+    from ..ops.pallas_codec import encode_blocks_pallas
 
-    hi, lo, valid = encode_blocks(codes, k, qual, quality_threshold)
+    enc = encode_blocks_pallas if use_pallas else encode_blocks
+    hi, lo, valid = enc(codes, k, qual, quality_threshold)
     return count_unique(hi, lo, valid)
+
+
+def _pallas_available() -> bool:
+    """Pallas TPU kernels require a TPU-like backend (not cpu/gpu)."""
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
 
 
 class BatchEngine:
@@ -242,39 +254,37 @@ class BatchEngine:
         progress: ProgressCallback | None = None,
         tracker: ProgressTracker | None = None,
     ) -> PackedCounts:
+        from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
+
         cfg = self.config
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
         acc = _HostAccumulator(cfg.host_compact_threshold)
+        table = DeviceTable()
+        use_pallas = cfg.use_pallas and _pallas_available()
 
         qual_stream = streams.qual if thr is not None else None
         batches = pack_buffer(
             streams.codes, qual_stream, k, cfg.block_windows, cfg.batch_rows
         )
-        done_windows = 0
         for batch in batches:
             batch = self._pad_batch(batch)
+            batch_windows = batch.codes.shape[0] * batch.block_windows
+            if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+                acc.add(*table.finalize())  # uint32 epoch headroom exhausted
             with span("encode_count_batch", rows=batch.codes.shape[0]):
-                u_hi, u_lo, u_cnt, n_u = _encode_count_step(
+                u_hi, u_lo, u_cnt, _ = _encode_count_step(
                     jax.numpy.asarray(batch.codes),
                     None if batch.qual is None else jax.numpy.asarray(batch.qual),
                     k,
                     thr,
+                    use_pallas,
                 )
-                n = int(n_u)
-                if n > 0:
-                    hi = np.asarray(u_hi[:n], dtype=np.uint64)
-                    lo = np.asarray(u_lo[:n], dtype=np.uint64)
-                    cnt = np.asarray(u_cnt[:n], dtype=np.uint64)
-                    acc.add((hi << np.uint64(32)) | lo, cnt)
-            done_windows += batch.n_windows
-            if tracker is not None:
-                # approximate per-batch sequence attribution: report batch
-                # completion in bases; sequence totals land on the last batch
-                pass
+                table.add(u_hi, u_lo, u_cnt, batch_windows)
         if tracker is not None:
             tracker.record_batch(streams.n_records, streams.n_bases)
             if progress is not None:
                 progress(tracker.snapshot())
+        acc.add(*table.finalize())
         codes64, counts64 = acc.result()
         trace_event("unpack_kmers", unique_kmers=int(codes64.shape[0]))
         return PackedCounts(k, codes64, counts64)

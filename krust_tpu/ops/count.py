@@ -42,7 +42,7 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
     hi = hi.reshape(-1)
     lo = lo.reshape(-1)
     weight = weight.reshape(-1).astype(jnp.uint32)
-    invalid = (~valid.reshape(-1)).astype(jnp.uint32)
+    invalid = (~valid.reshape(-1).astype(jnp.bool_)).astype(jnp.uint32)
     n = hi.shape[0]
     if n == 0:
         z = jnp.zeros(0, jnp.uint32)

@@ -1,0 +1,135 @@
+"""Native C++ parser vs numpy parser: exact differential equality."""
+
+import random
+
+import numpy as np
+import pytest
+
+from krust_tpu.errors import FormatError
+from krust_tpu.io import native
+from krust_tpu.io.format import SequenceFormat
+from krust_tpu.io import reader as reader_mod
+
+import oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native parser unavailable (no g++?)"
+)
+
+
+def numpy_streams(data: bytes, fmt):
+    """Run the pure-numpy parser path regardless of native availability."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if fmt.is_fastq:
+        seq, qual, lens = reader_mod._parse_fastq(arr)
+        if lens.shape[0] == 0:
+            return np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0, 0
+        from krust_tpu.kmer import BASE_LUT
+
+        codes = reader_mod._with_separators(BASE_LUT[seq], lens, 4)
+        q = reader_mod._with_separators(qual, lens, 0xFF)
+        return codes, q, lens.shape[0], int(lens.sum())
+    seq, lens = reader_mod._parse_fasta(arr)
+    if lens.shape[0] == 0:
+        return np.zeros(0, np.uint8), None, 0, 0
+    from krust_tpu.kmer import BASE_LUT
+
+    codes = reader_mod._with_separators(BASE_LUT[seq], lens, 4)
+    return codes, None, lens.shape[0], int(lens.sum())
+
+
+def random_fasta(rng: random.Random) -> bytes:
+    parts = []
+    for _ in range(rng.randint(0, 12)):
+        parts.append(f">{oracle.random_dna(rng, rng.randint(0, 8), 'abcXYZ_ ')}")
+        for _ in range(rng.randint(0, 4)):
+            parts.append(oracle.random_dna(rng, rng.randint(0, 40), "ACGTacgtNnx"))
+    text = "\n".join(parts)
+    if parts and rng.random() < 0.7:
+        text += "\n"
+    if rng.random() < 0.3:
+        text = text.replace("\n", "\r\n")
+    return text.encode()
+
+
+def random_fastq(rng: random.Random) -> bytes:
+    parts = []
+    for i in range(rng.randint(0, 10)):
+        n = rng.randint(0, 50)
+        seq = oracle.random_dna(rng, n, "ACGTacgtNn")
+        qual = "".join(chr(rng.randint(33, 104)) for _ in range(n))
+        parts += [f"@read{i}", seq, "+", qual]
+    text = "\n".join(parts)
+    if parts and rng.random() < 0.7:
+        text += "\n"
+    if rng.random() < 0.3:
+        text = text.replace("\n", "\r\n")
+    return text.encode()
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fasta_differential(seed):
+    rng = random.Random(seed)
+    data = random_fasta(rng)
+    exp = numpy_streams(data, SequenceFormat.FASTA)
+    got = native.parse_fasta_native(data)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], exp[0])
+    assert got[1] == exp[2]
+    assert got[2] == exp[3]
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fastq_differential(seed):
+    rng = random.Random(1000 + seed)
+    data = random_fastq(rng)
+    exp = numpy_streams(data, SequenceFormat.FASTQ)
+    got = native.parse_fastq_native(data)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], exp[0])
+    np.testing.assert_array_equal(got[1], exp[1])
+    assert got[2] == exp[2]
+    assert got[3] == exp[3]
+
+
+def test_fasta_error_parity():
+    bad = b"ACGT\n>a\nACGT\n"
+    with pytest.raises(FormatError):
+        native.parse_fasta_native(bad)
+    with pytest.raises(FormatError):
+        numpy_streams(bad, SequenceFormat.FASTA)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"@a\nACGT\n+\n",  # truncated record
+        b">a\nACGT\n+\nIIII\n",  # bad header char
+        b"@a\nACGT\n-\nIIII\n",  # bad plus line
+        b"@a\nACGT\n+\nIII\n",  # qual length mismatch
+    ],
+)
+def test_fastq_error_parity(bad):
+    with pytest.raises(FormatError):
+        native.parse_fastq_native(bad)
+    with pytest.raises(FormatError):
+        numpy_streams(bad, SequenceFormat.FASTQ)
+
+
+def test_empty_inputs():
+    assert native.parse_fasta_native(b"")[1] == 0
+    assert native.parse_fastq_native(b"")[2] == 0
+
+
+def test_fixture_files(fixtures_dir):
+    for name in ("simple.fa", "with_n.fa", "soft_masked.fa"):
+        data = (fixtures_dir / name).read_bytes()
+        exp = numpy_streams(data, SequenceFormat.FASTA)
+        got = native.parse_fasta_native(data)
+        np.testing.assert_array_equal(got[0], exp[0])
+    for name in ("simple.fq", "low_quality.fq", "with_n.fq"):
+        data = (fixtures_dir / name).read_bytes()
+        exp = numpy_streams(data, SequenceFormat.FASTQ)
+        got = native.parse_fastq_native(data)
+        np.testing.assert_array_equal(got[0], exp[0])
+        np.testing.assert_array_equal(got[1], exp[1])

@@ -1,0 +1,56 @@
+"""Pallas codec kernel vs jnp codec: bit-equality (interpret mode on CPU)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from krust_tpu.io.packer import blockize
+from krust_tpu.io.reader import streams_from_sequences
+from krust_tpu.ops.codec import encode_blocks
+from krust_tpu.ops.pallas_codec import encode_blocks_pallas
+
+import oracle
+
+
+def _compare(codes, k, qual=None, thr=None):
+    hi, lo, valid = encode_blocks(codes, k, qual, thr)
+    phi, plo, pvalid = encode_blocks_pallas(codes, k, qual, thr, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(phi))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(plo))
+    np.testing.assert_array_equal(
+        np.asarray(valid), np.asarray(pvalid).astype(bool)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 16, 17, 21, 32])
+def test_pallas_matches_jnp(k):
+    rng = random.Random(42 + k)
+    seqs = [oracle.random_dna(rng, rng.randint(0, 300), "ACGTN") for _ in range(10)]
+    streams = streams_from_sequences(seqs)
+    batch = blockize(streams.codes, None, k, block_windows=128)
+    _compare(np.asarray(batch.codes), k)
+
+
+@pytest.mark.parametrize("w", [128, 256, 1000, 4096])
+def test_pallas_widths(w):
+    k = 21
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 5, size=(8, w + k - 1), dtype=np.uint8)
+    _compare(codes, k)
+
+
+def test_pallas_quality():
+    k = 7
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 5, size=(16, 128 + k - 1), dtype=np.uint8)
+    qual = rng.integers(33, 80, size=codes.shape, dtype=np.uint8)
+    _compare(codes, k, qual, 53)
+
+
+def test_pallas_row_padding():
+    # row count not a multiple of the tile
+    k = 5
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 5, size=(3, 128 + k - 1), dtype=np.uint8)
+    _compare(codes, k)

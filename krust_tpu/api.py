@@ -8,17 +8,14 @@ canonical code.
 
 from __future__ import annotations
 
-import io as _io
 import mmap as _mmap
 import os
 import sys
 from typing import BinaryIO, Callable, Iterable, TextIO
 
-from .errors import KrustError
 from .io.format import SequenceFormat
 from .io.input import Input
 from .io.reader import (
-    ParsedStreams,
     parse_records,
     parse_to_streams,
     read_input_bytes,

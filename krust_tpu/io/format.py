@@ -10,7 +10,7 @@ Rules (kept byte-for-byte compatible with the reference):
 from __future__ import annotations
 
 import enum
-from pathlib import Path, PurePath
+from pathlib import PurePath
 
 
 class SequenceFormat(enum.Enum):

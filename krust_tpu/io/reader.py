@@ -19,7 +19,6 @@ Parsing semantics follow the reference's rust-bio backend:
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import sys
 from dataclasses import dataclass

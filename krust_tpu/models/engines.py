@@ -197,12 +197,12 @@ class NumpyEngine:
 )
 def _encode_count_step(codes, qual, k, quality_threshold, use_pallas=False):
     from ..ops.codec import encode_blocks
-    from ..ops.count import count_unique
+    from ..ops.count import count_runs
     from ..ops.pallas_codec import encode_blocks_pallas
 
     enc = encode_blocks_pallas if use_pallas else encode_blocks
     hi, lo, valid = enc(codes, k, qual, quality_threshold)
-    return count_unique(hi, lo, valid)
+    return count_runs(hi, lo, valid, k)
 
 
 def _pallas_available() -> bool:
@@ -259,7 +259,7 @@ class BatchEngine:
         cfg = self.config
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
         acc = _HostAccumulator(cfg.host_compact_threshold)
-        table = DeviceTable()
+        table = DeviceTable(k)
         use_pallas = cfg.use_pallas and _pallas_available()
 
         qual_stream = streams.qual if thr is not None else None
@@ -272,7 +272,7 @@ class BatchEngine:
             if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                 acc.add(*table.finalize())  # uint32 epoch headroom exhausted
             with span("encode_count_batch", rows=batch.codes.shape[0]):
-                u_hi, u_lo, u_cnt, _ = _encode_count_step(
+                u_hi, u_lo, u_cnt = _encode_count_step(
                     jax.numpy.asarray(batch.codes),
                     None if batch.qual is None else jax.numpy.asarray(batch.qual),
                     k,

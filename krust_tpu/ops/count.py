@@ -21,6 +21,8 @@ is unreachable in any physical input but preserved in the host accumulator.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -52,7 +54,6 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
         (invalid, hi, lo, weight), num_keys=3, is_stable=False
     )
 
-    pos = jnp.arange(n, dtype=jnp.int32)
     prev_differs = (
         (s_hi != jnp.roll(s_hi, 1))
         | (s_lo != jnp.roll(s_lo, 1))
@@ -61,20 +62,29 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
     is_start = prev_differs.at[0].set(True)
     is_end = jnp.roll(is_start, -1).at[n - 1].set(True)
 
-    # index of the run start owning each position
-    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    # segment sums without gathers: the weight-prefix just before each run's
+    # start is nondecreasing across runs, so a masked cummax broadcasts it to
+    # every position of its run (gathers cost ~2x a sort at scale on TPU)
     prefix = jnp.cumsum(s_w, dtype=jnp.uint32)
-    start_prefix = jnp.take(prefix, run_start) - jnp.take(s_w, run_start)
-    run_sum = prefix - start_prefix  # at an end position: total weight of run
+    prefix_before = jax.lax.cummax(jnp.where(is_start, prefix - s_w, 0))
+    run_sum = prefix - prefix_before  # at an end position: run's total weight
 
     emit = is_end & (s_inv == 0)
-    dest = jnp.cumsum(emit.astype(jnp.int32)) - 1
-    n_unique = dest[n - 1] + 1
+    n_unique = jnp.sum(emit, dtype=jnp.int32)
 
-    idx = jnp.where(emit, dest, n)  # out-of-range rows dropped
-    u_hi = jnp.zeros(n, jnp.uint32).at[idx].set(s_hi, mode="drop")
-    u_lo = jnp.zeros(n, jnp.uint32).at[idx].set(s_lo, mode="drop")
-    u_cnt = jnp.zeros(n, jnp.uint32).at[idx].set(run_sum, mode="drop")
+    # compaction via a single 1-key sort (cheaper than 3 scatters): emitted
+    # entries (key 0) move to the front, padding (key 1, zeroed) to the back
+    pad_key = (~emit).astype(jnp.uint32)
+    _, u_hi, u_lo, u_cnt = jax.lax.sort(
+        (
+            pad_key,
+            jnp.where(emit, s_hi, 0),
+            jnp.where(emit, s_lo, 0),
+            jnp.where(emit, run_sum, 0),
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
     return u_hi, u_lo, u_cnt, n_unique
 
 
@@ -82,8 +92,135 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
 def count_unique(hi: jax.Array, lo: jax.Array, valid: jax.Array):
     """Count occurrences of each distinct valid (hi, lo) key.
 
-    Equivalent to :func:`merge_weighted` with unit weights — the per-batch
-    counting step.
+    Equivalent to :func:`merge_weighted` with unit weights, results compacted
+    to the front (used where downstream needs ``entries[:n_unique]``, e.g.
+    the hash-shard exchange).
     """
     ones = jnp.ones(hi.size, jnp.uint32)
     return merge_weighted(hi, lo, ones, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
+    """k-aware weighted merge with front compaction — the table-merge path.
+
+    Semantics of :func:`merge_weighted` (entries with weight 0 are padding),
+    but with the same k-dependent sort-operand savings as
+    :func:`count_runs` and gather-free segment sums. Falls back to
+    :func:`merge_weighted` for k == 32 where the sentinel is unsafe.
+    """
+    lo = lo.reshape(-1)
+    weight = weight.reshape(-1).astype(jnp.uint32)
+    n = lo.shape[0]
+    if n == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z, z, jnp.int32(0)
+    if k >= 32:
+        return merge_weighted(hi, lo, weight, weight > 0)
+
+    valid = weight > 0
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    if k <= 15:
+        key = jnp.where(valid, lo, sentinel)
+        s_lo, s_w = jax.lax.sort((key, weight), num_keys=1)
+        s_hi = jnp.zeros_like(s_lo)
+        sorted_valid = s_lo != sentinel
+        prev_differs = s_lo != jnp.roll(s_lo, 1)
+        next_differs = s_lo != jnp.roll(s_lo, -1)
+    else:
+        hi = hi.reshape(-1)
+        key_hi = jnp.where(valid, hi, sentinel)
+        key_lo = jnp.where(valid, lo, sentinel)
+        s_hi, s_lo, s_w = jax.lax.sort((key_hi, key_lo, weight), num_keys=2)
+        sorted_valid = s_hi != sentinel
+        prev_differs = (s_hi != jnp.roll(s_hi, 1)) | (s_lo != jnp.roll(s_lo, 1))
+        next_differs = (s_hi != jnp.roll(s_hi, -1)) | (s_lo != jnp.roll(s_lo, -1))
+
+    is_start = prev_differs.at[0].set(True)
+    is_end = next_differs.at[n - 1].set(True)
+    prefix = jnp.cumsum(s_w, dtype=jnp.uint32)
+    prefix_before = jax.lax.cummax(jnp.where(is_start, prefix - s_w, 0))
+    run_sum = prefix - prefix_before
+
+    emit = is_end & sorted_valid
+    n_unique = jnp.sum(emit, dtype=jnp.int32)
+    pad_key = (~emit).astype(jnp.uint32)
+    _, u_hi, u_lo, u_cnt = jax.lax.sort(
+        (
+            pad_key,
+            jnp.where(emit, s_hi, 0),
+            jnp.where(emit, s_lo, 0),
+            jnp.where(emit, run_sum, 0),
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
+    return u_hi, u_lo, u_cnt, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_runs(hi: jax.Array, lo: jax.Array, valid: jax.Array, k: int):
+    """Per-batch counting without compaction — the hot path.
+
+    Returns (s_hi, s_lo, cnt) of the input's total length: keys sorted
+    ascending with each run's total count at its last position and zeros
+    elsewhere (zero-count entries are padding for downstream merges). Skips
+    the compaction scatters of :func:`count_unique` and sorts the minimum
+    number of operands for the given k:
+
+    - k <= 15: codes fit 30 bits, so 0xFFFFFFFF is a safe invalid sentinel
+      and one sort operand suffices;
+    - k <= 31: hi <= 4^(k-16)-1 < 0xFFFFFFFF, so the sentinel pair is safe
+      with two operands;
+    - k == 32: T^32 == all-ones, sentinel unsafe; carry an invalid flag key.
+    """
+    lo = lo.reshape(-1)
+    valid = valid.reshape(-1).astype(jnp.bool_)
+    n = lo.shape[0]
+    if n == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z, z
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    if k <= 15:
+        key = jnp.where(valid, lo, sentinel)
+        (s_lo,) = jax.lax.sort((key,), num_keys=1)
+        s_hi = jnp.zeros_like(s_lo)
+        sorted_valid = s_lo != sentinel
+        prev_differs = s_lo != jnp.roll(s_lo, 1)
+        next_differs = s_lo != jnp.roll(s_lo, -1)
+    elif k <= 31:
+        hi = hi.reshape(-1)
+        key_hi = jnp.where(valid, hi, sentinel)
+        key_lo = jnp.where(valid, lo, sentinel)
+        s_hi, s_lo = jax.lax.sort((key_hi, key_lo), num_keys=2)
+        sorted_valid = s_hi != sentinel
+        prev_differs = (s_hi != jnp.roll(s_hi, 1)) | (s_lo != jnp.roll(s_lo, 1))
+        next_differs = (s_hi != jnp.roll(s_hi, -1)) | (s_lo != jnp.roll(s_lo, -1))
+    else:
+        hi = hi.reshape(-1)
+        inv = (~valid).astype(jnp.uint32)
+        s_inv, s_hi, s_lo = jax.lax.sort((inv, hi, lo), num_keys=3)
+        sorted_valid = s_inv == 0
+        prev_differs = (
+            (s_hi != jnp.roll(s_hi, 1))
+            | (s_lo != jnp.roll(s_lo, 1))
+            | (s_inv != jnp.roll(s_inv, 1))
+        )
+        next_differs = (
+            (s_hi != jnp.roll(s_hi, -1))
+            | (s_lo != jnp.roll(s_lo, -1))
+            | (s_inv != jnp.roll(s_inv, -1))
+        )
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = prev_differs.at[0].set(True)
+    is_end = next_differs.at[n - 1].set(True)
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    cnt = jnp.where(
+        is_end & sorted_valid, (pos - run_start + 1).astype(jnp.uint32), 0
+    )
+    # scrub sentinel keys so padding entries are (0, 0, 0)
+    s_hi = jnp.where(cnt > 0, s_hi, 0)
+    s_lo = jnp.where(cnt > 0, s_lo, 0)
+    return s_hi, s_lo, cnt

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .count import merge_weighted
+from .count import merge_runs
 
 #: windows per epoch bound, with headroom below 2^32 (counts are uint32)
 EPOCH_WINDOW_LIMIT = 1 << 31
@@ -32,16 +32,15 @@ def _round_pow2(n: int) -> int:
     return p
 
 
-@jax.jit
-def _merge_parts(hi: jax.Array, lo: jax.Array, cnt: jax.Array):
-    """Merge concatenated parts; entries with cnt == 0 are padding."""
-    return merge_weighted(hi, lo, cnt, cnt > 0)
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 class DeviceTable:
     """Accumulates (hi, lo, count) uniques on device across batches."""
 
-    def __init__(self, max_parts: int = 8):
+    def __init__(self, k: int = 32, max_parts: int = 4):
+        self._k = k  # enables sentinel-key merges (fewer sort operands)
         self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
         self._pending = 0
         self._table: tuple[jax.Array, jax.Array, jax.Array] | None = None
@@ -69,9 +68,10 @@ class DeviceTable:
         hi = jnp.concatenate([a[0] for a in arrays])
         lo = jnp.concatenate([a[1] for a in arrays])
         cnt = jnp.concatenate([a[2] for a in arrays])
-        # pad to a power-of-two bucket to bound jit recompiles
+        # pad to a 4M-entry bucket: bounds jit recompiles without the up-to-2x
+        # work a power-of-two bucket would add to the big final merge
         n = hi.shape[0]
-        target = _round_pow2(n)
+        target = _round_up(n, 1 << 22) if n > (1 << 22) else _round_pow2(n)
         if target != n:
             pad = target - n
             hi = jnp.concatenate([hi, jnp.zeros(pad, jnp.uint32)])
@@ -83,7 +83,7 @@ class DeviceTable:
         if not self._parts and self._table is not None:
             return
         hi, lo, cnt = self._concat()
-        m_hi, m_lo, m_cnt, n_m = _merge_parts(hi, lo, cnt)
+        m_hi, m_lo, m_cnt, n_m = merge_runs(hi, lo, cnt, self._k)
         n = int(n_m)  # one sync per compaction (amortized ~log(batches))
         keep = min(_round_pow2(max(n, 1)), m_hi.shape[0])
         self._table = (m_hi[:keep], m_lo[:keep], m_cnt[:keep])

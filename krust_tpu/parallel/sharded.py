@@ -27,7 +27,6 @@ bit-identical across mesh shapes (tested in tests/test_sharded.py).
 from __future__ import annotations
 
 import functools
-from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,9 @@ class EngineConfig:
     block_windows: int = 4096
 
     #: max rows per device batch; bounds HBM footprint for huge inputs.
-    #: 2048 rows x 4096 windows = 8.4M windows/batch.
-    batch_rows: int = 2048
+    #: 8192 rows x 4096 windows = 33.6M windows/batch (~1GB working set) —
+    #: large batches amortize sort cost and minimize table compactions.
+    batch_rows: int = 8192
 
     #: host-side partial-results compaction threshold (entries)
     host_compact_threshold: int = 64_000_000

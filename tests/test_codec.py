@@ -144,3 +144,34 @@ def test_batch_shape_independence():
             zip(unpack_many(codes64, k), np.asarray(u_cnt)[:n].tolist())
         )
         assert got == expected, f"mismatch at block_windows={w}"
+
+
+@pytest.mark.parametrize("k", [1, 3, 15, 16, 17, 31, 32])
+def test_count_runs_matches_count_unique(k):
+    """The scatter-free hot path must agree with the compacted path."""
+    import numpy as np
+    from krust_tpu.ops.count import count_runs, count_unique
+
+    rng = np.random.default_rng(500 + k)
+    n = 4096
+    max_code = (1 << (2 * k)) - 1
+    hi_max = max(max_code >> 32, 0)
+    lo_mask = min(max_code, 0xFFFFFFFF)
+    hi = rng.integers(0, hi_max + 1, size=n).astype(np.uint32)
+    lo = (rng.integers(0, 1 << 32, size=n, dtype=np.uint64) & np.uint64(lo_mask)).astype(np.uint32)
+    valid = rng.random(n) < 0.8
+
+    u_hi, u_lo, u_cnt, n_u = count_unique(hi, lo, valid)
+    n_u = int(n_u)
+    exp = {}
+    for h, l, c in zip(
+        np.asarray(u_hi)[:n_u], np.asarray(u_lo)[:n_u], np.asarray(u_cnt)[:n_u]
+    ):
+        exp[(int(h) << 32) | int(l)] = int(c)
+
+    s_hi, s_lo, cnt = count_runs(hi, lo, valid, k)
+    s_hi, s_lo, cnt = np.asarray(s_hi), np.asarray(s_lo), np.asarray(cnt)
+    got = {}
+    for h, l, c in zip(s_hi[cnt > 0], s_lo[cnt > 0], cnt[cnt > 0]):
+        got[(int(h) << 32) | int(l)] = int(c)
+    assert got == exp

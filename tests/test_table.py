@@ -56,3 +56,27 @@ def test_table_epoch_flush_merges_in_host_acc():
     codes, counts = acc.result()
     got = dict(zip(codes.tolist(), counts.tolist()))
     assert got == expected
+
+
+def test_table_with_small_k_sentinel_merge():
+    """k-aware sentinel merge path must agree with the k=32 fallback."""
+    rng = np.random.default_rng(2)
+    for k in (5, 15, 16, 21, 31):
+        max_code = (1 << (2 * k)) - 1
+        expected = {}
+        tables = [DeviceTable(k, max_parts=2), DeviceTable(32, max_parts=2)]
+        for _ in range(5):
+            code = rng.integers(0, min(max_code, 2**50), size=600, dtype=np.uint64)
+            hi = (code >> np.uint64(32)).astype(np.uint32)
+            lo = code.astype(np.uint32)
+            valid = rng.random(600) < 0.9
+            u = count_unique(hi, lo, valid)
+            for t in tables:
+                t.add(u[0], u[1], u[2], 600)
+            for c, v in zip(code.tolist(), valid.tolist()):
+                if v:
+                    expected[c] = expected.get(c, 0) + 1
+        results = [t.finalize() for t in tables]
+        for codes, counts in results:
+            got = dict(zip(codes.tolist(), counts.tolist()))
+            assert got == expected, k

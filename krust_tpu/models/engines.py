@@ -205,6 +205,19 @@ def _encode_count_step(codes, qual, k, quality_threshold, use_pallas=False):
     return count_runs(hi, lo, valid, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "width", "use_pallas"))
+def _encode_count_packed_step(packed2, badbits, k, width, use_pallas=False):
+    """Bit-packed batch step: device unpack -> rolling codec -> run counts."""
+    from ..ops.codec import encode_blocks, unpack_2bit
+    from ..ops.count import count_runs
+    from ..ops.pallas_codec import encode_blocks_pallas
+
+    codes = unpack_2bit(packed2, badbits, width)
+    enc = encode_blocks_pallas if use_pallas else encode_blocks
+    hi, lo, valid = enc(codes, k, None, None)
+    return count_runs(hi, lo, valid, k)
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels require a TPU-like backend (not cpu/gpu)."""
     try:
@@ -246,6 +259,24 @@ class BatchEngine:
             )
         return PackedBatch(codes, qual, batch.n_windows, batch.block_windows)
 
+    def _pad_batch2(self, batch):
+        from ..io.packer import PackedBatch2
+
+        rows = batch.packed2.shape[0]
+        target = self._bucket_rows(rows)
+        if target == rows:
+            return batch
+        pad = target - rows
+        packed2 = np.vstack(
+            [batch.packed2, np.zeros((pad, batch.packed2.shape[1]), np.uint8)]
+        )
+        badbits = np.vstack(
+            [batch.badbits, np.full((pad, batch.badbits.shape[1]), 0xFF, np.uint8)]
+        )
+        return PackedBatch2(
+            packed2, badbits, batch.n_windows, batch.block_windows, batch.width
+        )
+
     def count(
         self,
         streams: ParsedStreams,
@@ -254,6 +285,7 @@ class BatchEngine:
         progress: ProgressCallback | None = None,
         tracker: ProgressTracker | None = None,
     ) -> PackedCounts:
+        from ..io.packer import pack_buffer_2bit
         from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
 
         cfg = self.config
@@ -263,20 +295,20 @@ class BatchEngine:
         use_pallas = cfg.use_pallas and _pallas_available()
 
         qual_stream = streams.qual if thr is not None else None
-        batches = pack_buffer(
-            streams.codes, qual_stream, k, cfg.block_windows, cfg.batch_rows
+        batches = pack_buffer_2bit(
+            streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
         )
         for batch in batches:
-            batch = self._pad_batch(batch)
-            batch_windows = batch.codes.shape[0] * batch.block_windows
+            batch = self._pad_batch2(batch)
+            batch_windows = batch.packed2.shape[0] * batch.block_windows
             if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                 acc.add(*table.finalize())  # uint32 epoch headroom exhausted
-            with span("encode_count_batch", rows=batch.codes.shape[0]):
-                u_hi, u_lo, u_cnt = _encode_count_step(
-                    jax.numpy.asarray(batch.codes),
-                    None if batch.qual is None else jax.numpy.asarray(batch.qual),
+            with span("encode_count_batch", rows=batch.packed2.shape[0]):
+                u_hi, u_lo, u_cnt = _encode_count_packed_step(
+                    jax.numpy.asarray(batch.packed2),
+                    jax.numpy.asarray(batch.badbits),
                     k,
-                    thr,
+                    batch.width,
                     use_pallas,
                 )
                 table.add(u_hi, u_lo, u_cnt, batch_windows)

@@ -87,6 +87,25 @@ def encode_blocks(
     return hi, lo, valid
 
 
+@functools.partial(jax.jit, static_argnames=("width",))
+def unpack_2bit(packed2: jax.Array, badbits: jax.Array, width: int) -> jax.Array:
+    """Device-side unpack of (packed2, badbits) rows to uint8 codes [B, width].
+
+    Invalid positions (set bits in badbits) come out as INVALID_CODE (4), so
+    the result feeds :func:`encode_blocks` directly. Unpacking is a handful
+    of VPU shift/mask ops against HBM bandwidth — roughly free compared to
+    the host->device transfer it shrinks 2.7x.
+    """
+    b = packed2.shape[0]
+    shifts4 = jnp.array([6, 4, 2, 0], jnp.uint8)
+    c = (packed2[:, :, None] >> shifts4[None, None, :]) & 3
+    c = c.reshape(b, -1)[:, :width]
+    shifts8 = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bad = (badbits[:, :, None] >> shifts8[None, None, :]) & 1
+    bad = bad.reshape(b, -1)[:, :width]
+    return jnp.where(bad != 0, jnp.uint8(4), c.astype(jnp.uint8))
+
+
 def split64(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host helper: uint64 codes -> (hi, lo) uint32 pair."""
     codes = np.asarray(codes, dtype=np.uint64)

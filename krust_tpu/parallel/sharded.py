@@ -42,7 +42,7 @@ from ..models.engines import (
     _quality_threshold,
 )
 from ..ops.codec import encode_blocks
-from ..ops.count import count_unique, merge_weighted
+from ..ops.count import count_runs, merge_runs
 from ..utils.config import EngineConfig
 from ..utils.tracing import span
 from .mesh import DATA_AXIS, make_mesh
@@ -61,16 +61,17 @@ def _owner_of(hi: jax.Array, lo: jax.Array, n: int) -> jax.Array:
     return (h % jnp.uint32(n)).astype(jnp.int32)
 
 
-def _exchange_and_merge(u_hi, u_lo, u_cnt, n_u, *, axis: str, n_dev: int, cap: int):
+def _exchange_and_merge(u_hi, u_lo, u_cnt, *, k: int, axis: str, n_dev: int, cap: int):
     """Bucket local uniques by owner, all-to-all, merge received partials.
 
-    Runs inside shard_map. ``cap`` is the per-destination entry capacity.
+    Runs inside shard_map. Inputs are the uncompacted run-length counts
+    (zero count = padding). ``cap`` is the per-destination entry capacity.
     Returns (m_hi, m_lo, m_cnt, n_m, overflowed) where the m_* arrays hold
     this chip's final hash-range table compacted to the front.
     """
     n_loc = u_hi.shape[0]
     pos = jnp.arange(n_loc, dtype=jnp.int32)
-    live = pos < n_u
+    live = u_cnt > 0
 
     owner = jnp.where(live, _owner_of(u_hi, u_lo, n_dev), n_dev)
     # sort by owner so each destination's entries are contiguous
@@ -94,7 +95,7 @@ def _exchange_and_merge(u_hi, u_lo, u_cnt, n_u, *, axis: str, n_dev: int, cap: i
     recv_lo = jax.lax.all_to_all(send_lo, axis, 0, 0, tiled=True)
     recv_cnt = jax.lax.all_to_all(send_cnt, axis, 0, 0, tiled=True)
 
-    m_hi, m_lo, m_cnt, n_m = merge_weighted(recv_hi, recv_lo, recv_cnt, recv_cnt > 0)
+    m_hi, m_lo, m_cnt, n_m = merge_runs(recv_hi, recv_lo, recv_cnt, k)
     return m_hi, m_lo, m_cnt, n_m, overflowed
 
 
@@ -132,9 +133,9 @@ def sharded_count_step(
 
     def local_fn(codes_l, qual_l=None):
         hi, lo, valid = encode_blocks(codes_l, k, qual_l, quality_threshold)
-        u_hi, u_lo, u_cnt, n_u = count_unique(hi, lo, valid)
+        u_hi, u_lo, u_cnt = count_runs(hi, lo, valid, k)
         m_hi, m_lo, m_cnt, n_m, ovf = _exchange_and_merge(
-            u_hi, u_lo, u_cnt, n_u, axis=DATA_AXIS, n_dev=n_dev, cap=cap
+            u_hi, u_lo, u_cnt, k=k, axis=DATA_AXIS, n_dev=n_dev, cap=cap
         )
         return (
             m_hi[None],

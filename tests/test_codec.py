@@ -175,3 +175,62 @@ def test_count_runs_matches_count_unique(k):
     for h, l, c in zip(s_hi[cnt > 0], s_lo[cnt > 0], cnt[cnt > 0]):
         got[(int(h) << 32) | int(l)] = int(c)
     assert got == exp
+
+
+@pytest.mark.parametrize("k", [1, 3, 16, 21, 32])
+def test_packed_2bit_path_matches(k):
+    """Bit-packed transfer path must equal the raw-code path exactly."""
+    from krust_tpu.io.packer import pack_buffer_2bit
+    from krust_tpu.models.engines import _encode_count_packed_step
+    from krust_tpu.ops.codec import combine64
+
+    rng = random.Random(900 + k)
+    seqs = [oracle.random_dna(rng, rng.randint(0, 200), "ACGTacgtNn") for _ in range(10)]
+    expected = oracle.count_sequences(seqs, k)
+    streams = streams_from_sequences(seqs)
+    got = {}
+    for batch in pack_buffer_2bit(streams.codes, None, k, None, block_windows=128):
+        s_hi, s_lo, cnt = _encode_count_packed_step(
+            batch.packed2, batch.badbits, k, batch.width
+        )
+        s_hi, s_lo, cnt = np.asarray(s_hi), np.asarray(s_lo), np.asarray(cnt)
+        live = cnt > 0
+        codes64 = combine64(s_hi[live], s_lo[live])
+        from krust_tpu.kmer import unpack_many
+
+        for km, c in zip(unpack_many(codes64, k), cnt[live].tolist()):
+            got[km] = got.get(km, 0) + c
+    assert got == expected
+
+
+def test_packed_2bit_quality():
+    from krust_tpu.io.packer import pack_buffer_2bit
+    from krust_tpu.models.engines import _encode_count_packed_step
+    from krust_tpu.ops.codec import combine64
+    from krust_tpu.kmer import unpack_many
+
+    rng = random.Random(33)
+    records = []
+    for _ in range(10):
+        n = rng.randint(0, 100)
+        seq = oracle.random_dna(rng, n)
+        qual = "".join(chr(rng.randint(33, 73)) for _ in range(n))
+        records.append((seq, qual))
+    k, min_q = 5, 20
+    expected = oracle.count_sequences(records, k, min_quality=min_q)
+    streams = streams_from_sequences(
+        [s for s, _ in records], [q.encode() for _, q in records]
+    )
+    got = {}
+    for batch in pack_buffer_2bit(
+        streams.codes, streams.qual, k, min_q + 33, block_windows=64
+    ):
+        s_hi, s_lo, cnt = _encode_count_packed_step(
+            batch.packed2, batch.badbits, k, batch.width
+        )
+        s_hi, s_lo, cnt = np.asarray(s_hi), np.asarray(s_lo), np.asarray(cnt)
+        live = cnt > 0
+        codes64 = combine64(s_hi[live], s_lo[live])
+        for km, c in zip(unpack_many(codes64, k), cnt[live].tolist()):
+            got[km] = got.get(km, 0) + c
+    assert got == expected

@@ -36,8 +36,8 @@ def make_reads(rng: np.random.Generator):
     """Synthetic reads: COVERAGE x random substrings of one random genome."""
     genome = rng.integers(0, 4, size=GENOME_MBASES * 1_000_000, dtype=np.uint8)
     n_reads = (genome.shape[0] * COVERAGE) // READ_LEN
-    starts = rng.integers(0, genome.shape[0] - READ_LEN, size=n_reads)
-    idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+    starts = rng.integers(0, genome.shape[0] - READ_LEN, size=n_reads, dtype=np.int32)
+    idx = starts[:, None] + np.arange(READ_LEN, dtype=np.int32)[None, :]
     reads = genome[idx]  # [n_reads, READ_LEN] of 2-bit codes
     return reads
 
@@ -47,10 +47,10 @@ def reads_to_stream(reads: np.ndarray) -> np.ndarray:
     from krust_tpu.kmer import INVALID_CODE
 
     n, L = reads.shape
-    out = np.full(n * (L + 1) - 1, INVALID_CODE, dtype=np.uint8)
-    j = np.arange(n * L)
-    out[j + j // L] = reads.reshape(-1)  # shift each read by #separators before it
-    return out
+    out = np.empty((n, L + 1), dtype=np.uint8)
+    out[:, :L] = reads
+    out[:, L] = INVALID_CODE
+    return out.reshape(-1)[:-1]  # one separator between reads, none trailing
 
 
 def main() -> None:

@@ -42,7 +42,7 @@ def _build_lib() -> str:
     subprocess.run(
         [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            "-o", tmp, _SRC,
+            "-pthread", "-o", tmp, _SRC,
         ],
         check=True,
         capture_output=True,
@@ -74,6 +74,16 @@ def _get_lib() -> ctypes.CDLL | None:
         lib.krust_parse_fastq.argtypes = [
             u8p, ctypes.c_int64, u8p, u8p, i64p, i64p, i64p,
         ]
+        if hasattr(lib, "krust_pack2"):
+            lib.krust_pack2.restype = None
+            lib.krust_pack2.argtypes = [u8p, ctypes.c_int64, u8p]
+        if hasattr(lib, "krust_scan_stream"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.krust_scan_stream.restype = ctypes.c_int64
+            lib.krust_scan_stream.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int32, u8p, i32p,
+                ctypes.c_int64,
+            ]
         _LIB = lib
     return _LIB
 
@@ -107,6 +117,56 @@ def parse_fasta_native(data: bytes):
     if status != 0:
         raise FormatError(_ERRORS.get(status, f"parse error {status}"))
     return out[: out_len.value], n_rec.value, n_bases.value
+
+
+def pack2_native(codes: np.ndarray):
+    """2-bit pack a code stream natively -> uint8[ceil(n/4)], or None."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "krust_pack2"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    out = np.empty(max(-(-n // 4), 1), dtype=np.uint8)
+    lib.krust_pack2(_as_u8p(codes), n, _as_u8p(out))
+    return out[: -(-n // 4)] if n else out[:0]
+
+
+def scan_stream_native(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    quality_threshold: int | None,
+    max_inv: int,
+):
+    """One-pass pack2 + invalid positions: (packed2, invpos, n_inv) or None.
+
+    ``n_inv > max_inv`` signals early exit (too dirty; partial outputs were
+    discarded) — callers should use the dense-mask path.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "krust_scan_stream"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    packed2 = np.empty(max(-(-n // 4), 1), dtype=np.uint8)
+    invpos = np.empty(max(max_inv, 1), dtype=np.int32)
+    qp = None
+    thr = -1
+    if qual is not None and quality_threshold is not None:
+        qual = np.ascontiguousarray(qual, dtype=np.uint8)
+        qp = _as_u8p(qual)
+        thr = quality_threshold
+    n_inv = lib.krust_scan_stream(
+        _as_u8p(codes),
+        n,
+        qp,
+        thr,
+        _as_u8p(packed2),
+        invpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_inv,
+    )
+    if n_inv > max_inv:
+        return packed2[:0], invpos[:0], n_inv
+    return packed2[: -(-n // 4)] if n else packed2[:0], invpos[:n_inv], n_inv
 
 
 def parse_fastq_native(data: bytes):

@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -150,6 +152,98 @@ int32_t krust_parse_fastq(const uint8_t* data, int64_t len, uint8_t* out_codes,
     *n_records = records;
     *n_bases = bases;
     return KRUST_OK;
+}
+
+// 2-bit pack: 4 bases/byte, first base in the high bits. Invalid codes pack
+// as (code & 3); their positions travel separately (io/packer.py). Threaded
+// over byte-aligned chunks; each output byte depends on 4 input bytes only.
+//   codes/n: input stream of 0..4 codes
+//   out:     caller buffer, capacity >= ceil(n/4); tail byte zero-padded
+void krust_pack2(const uint8_t* codes, int64_t n, uint8_t* out) {
+    const int64_t full = n / 4;  // whole output bytes
+
+    auto pack_range = [codes, out](int64_t b0, int64_t b1) {
+        for (int64_t b = b0; b < b1; ++b) {
+            const uint8_t* p = codes + b * 4;
+            out[b] = static_cast<uint8_t>(((p[0] & 3) << 6) | ((p[1] & 3) << 4) |
+                                          ((p[2] & 3) << 2) | (p[3] & 3));
+        }
+    };
+
+    const int64_t kParallelMin = 1 << 20;
+    unsigned hw = std::thread::hardware_concurrency();
+    if (full >= kParallelMin && hw > 1) {
+        const unsigned n_threads = hw > 16 ? 16 : hw;
+        const int64_t chunk = (full + n_threads - 1) / n_threads;
+        std::vector<std::thread> workers;
+        workers.reserve(n_threads);
+        for (unsigned t = 0; t < n_threads; ++t) {
+            const int64_t b0 = static_cast<int64_t>(t) * chunk;
+            const int64_t b1 = b0 + chunk < full ? b0 + chunk : full;
+            if (b0 >= b1) break;
+            workers.emplace_back(pack_range, b0, b1);
+        }
+        for (auto& w : workers) w.join();
+    } else {
+        pack_range(0, full);
+    }
+
+    if (n % 4) {  // tail byte: remaining bases high-to-low, zero-padded
+        uint8_t v = 0;
+        for (int64_t i = full * 4; i < n; ++i) {
+            v |= static_cast<uint8_t>((codes[i] & 3) << (6 - 2 * (i - full * 4)));
+        }
+        out[full] = v;
+    }
+}
+
+// Fused stream scan: 2-bit pack + invalid-position extraction (+quality
+// fold) in ONE pass over the stream — the host side of the flat transfer
+// path (io/packer.py flat_batches). One pass matters: the engine host can be
+// a single slow core, and every extra numpy pass over a multi-hundred-MB
+// stream costs seconds.
+//   codes/n:  input stream of 0..4 codes
+//   qual:     optional aligned quality bytes (nullptr when unused)
+//   thr:      quality threshold; bases with qual < thr are invalid (-1: off)
+//   packed2:  caller buffer, capacity >= ceil(n/4) (tail zero-padded)
+//   invpos:   caller buffer for invalid positions, capacity max_inv
+// Returns the number of invalid positions found, or max_inv + 1 the moment
+// the count would exceed max_inv (early exit; caller falls back to the
+// dense-mask path and must discard the partial outputs).
+int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
+                          int32_t thr, uint8_t* packed2, int32_t* invpos,
+                          int64_t max_inv) {
+    int64_t n_inv = 0;
+    const int64_t full = n / 4;
+    for (int64_t b = 0; b < full; ++b) {
+        const int64_t i = b * 4;
+        const uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
+                      c3 = codes[i + 3];
+        packed2[b] = static_cast<uint8_t>(((c0 & 3) << 6) | ((c1 & 3) << 4) |
+                                          ((c2 & 3) << 2) | (c3 & 3));
+        if ((c0 | c1 | c2 | c3) > 3 ||
+            (qual && (qual[i] < thr || qual[i + 1] < thr || qual[i + 2] < thr ||
+                      qual[i + 3] < thr))) {
+            for (int j = 0; j < 4; ++j) {
+                if (codes[i + j] > 3 || (qual && qual[i + j] < thr)) {
+                    if (n_inv >= max_inv) return max_inv + 1;
+                    invpos[n_inv++] = static_cast<int32_t>(i + j);
+                }
+            }
+        }
+    }
+    if (n % 4) {
+        uint8_t v = 0;
+        for (int64_t i = full * 4; i < n; ++i) {
+            v |= static_cast<uint8_t>((codes[i] & 3) << (6 - 2 * (i - full * 4)));
+            if (codes[i] > 3 || (qual && qual[i] < thr)) {
+                if (n_inv >= max_inv) return max_inv + 1;
+                invpos[n_inv++] = static_cast<int32_t>(i);
+            }
+        }
+        packed2[full] = v;
+    }
+    return n_inv;
 }
 
 }  // extern "C"

@@ -190,6 +190,144 @@ def pack_buffer_2bit(
         yield PackedBatch2(out4, out8, max(covered, 0), w, width)
 
 
+@dataclass
+class FlatBatch:
+    """Flat-transfer device batch: a contiguous 2-bit slice of the stream.
+
+    The minimal-byte host->device format (0.25 bytes/base + 4 bytes per
+    *invalid* base): ``packed2`` is a zero-copy slice of the whole stream's
+    2-bit packing covering rows ``[row0, row0 + rows)`` of the haloed block
+    decomposition; ``invpos`` lists invalid base positions relative to the
+    slice start (int32, padded with an out-of-range sentinel). The device
+    unpacks, scatters INVALID at ``invpos``, builds the haloed [rows, width]
+    block tensor with reshape/slice (no gathers), and masks windows at index
+    >= ``covered``. Chosen over the dense badbits format whenever invalid
+    bases are sparse (< 1/32 of the stream), which is the common case for
+    real sequencing data.
+    """
+
+    packed2: np.ndarray  # [ceil((rows*w + k - 1)/4)] uint8, 4 bases/byte
+    invpos: np.ndarray  # [P] int32 invalid positions, sentinel-padded
+    covered: int  # real windows in this batch (mask beyond)
+    rows: int  # block rows (already bucket-padded)
+    block_windows: int
+    n_invalid: int  # real entries in invpos
+
+
+def _bucket_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def invalid_positions(
+    codes: np.ndarray,
+    qual: np.ndarray | None = None,
+    quality_threshold: int | None = None,
+) -> np.ndarray:
+    """Positions of invalid (or quality-failing) bases in a flat stream."""
+    bad = codes >= INVALID_CODE
+    if qual is not None and quality_threshold is not None:
+        bad = bad | (qual < quality_threshold)
+    return np.flatnonzero(bad).astype(np.int32)
+
+
+def pack2_full(codes: np.ndarray) -> np.ndarray:
+    """2-bit pack a whole stream: 4 bases/byte, first base in the high bits.
+
+    Invalid codes pack as (code & 3) garbage — callers carry their positions
+    separately (:func:`invalid_positions`). Uses the native packer when
+    available; exact numpy fallback otherwise.
+    """
+    from . import native
+
+    packed = native.pack2_native(codes)
+    if packed is not None:
+        return packed
+    n = codes.shape[0]
+    n4 = -(-max(n, 1) // 4) * 4
+    b2 = codes & 3
+    if n4 != n:
+        b2 = np.concatenate([b2, np.zeros(n4 - n, np.uint8)])
+    q = b2.reshape(-1, 4)
+    return (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
+
+
+def flat_batches(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    k: int,
+    quality_threshold: int | None = None,
+    block_windows: int = DEFAULT_BLOCK_WINDOWS,
+    batch_rows: int = 8192,
+    row_multiple: int = ROW_MULTIPLE,
+):
+    """Yield :class:`FlatBatch` chunks, or None if the input is too dirty.
+
+    Returns None (caller should use the dense badbits path) when invalid
+    bases exceed 1/32 of the stream — past that point the positions array
+    outweighs a dense bitmask. ``block_windows`` must be a multiple of 8 so
+    every row starts on a 4-base byte boundary.
+    """
+    from . import native
+
+    w = block_windows
+    assert w % 8 == 0, "block_windows must be a multiple of 8"
+    n = codes.shape[0]
+    max_inv = n // 32
+    scanned = native.scan_stream_native(codes, qual, quality_threshold, max_inv)
+    if scanned is not None:
+        packed2_pre, inv, n_inv = scanned
+        if n_inv > max_inv:
+            return None
+    else:
+        packed2_pre = None
+        inv = invalid_positions(codes, qual, quality_threshold)
+        if inv.shape[0] > max_inv:
+            return None
+
+    def gen():
+        t = max(n - k + 1, 0)
+        n_blocks = -(-t // w) if t > 0 else 0
+        packed2 = packed2_pre if packed2_pre is not None else pack2_full(codes)
+        for row0 in range(0, max(n_blocks, 1), batch_rows):
+            rows = min(batch_rows, max(n_blocks, 1) - row0)
+            rows_padded = max(-(-rows // row_multiple) * row_multiple, row_multiple)
+            # bucket rows to a power of two above the row multiple so at most
+            # log2(batch_rows) step shapes are ever compiled
+            rows_padded = min(_bucket_pow2(rows_padded, row_multiple), batch_rows)
+            seg_bases = rows_padded * w + k - 1
+            seg_bytes = -(-seg_bases // 4)
+            b0 = (row0 * w) // 4
+            seg = packed2[b0 : b0 + seg_bytes]
+            if seg.shape[0] < seg_bytes:  # tail: pad
+                seg = np.concatenate(
+                    [seg, np.zeros(seg_bytes - seg.shape[0], np.uint8)]
+                )
+            else:
+                # own the bytes: device_put of a view into a large base
+                # buffer triggers a pathological first-transfer host
+                # registration on tunneled PJRT backends (100x slowdown);
+                # an 8MB memcpy is noise by comparison
+                seg = seg.copy()
+            base0 = row0 * w
+            i0, i1 = np.searchsorted(inv, [base0, base0 + seg_bases])
+            seg_inv = inv[i0:i1] - base0
+            p = _bucket_pow2(seg_inv.shape[0])
+            if p != seg_inv.shape[0]:
+                seg_inv = np.concatenate(
+                    [
+                        seg_inv,
+                        np.full(p - seg_inv.shape[0], seg_bases, np.int32),
+                    ]
+                )
+            covered = min((row0 + rows) * w, t) - row0 * w if t > 0 else 0
+            yield FlatBatch(seg, seg_inv, max(covered, 0), rows_padded, w, i1 - i0)
+
+    return gen()
+
+
 def pack_buffer(
     codes: np.ndarray,
     qual: np.ndarray | None,

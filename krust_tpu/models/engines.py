@@ -218,6 +218,44 @@ def _encode_count_packed_step(packed2, badbits, k, width, use_pallas=False):
     return count_runs(hi, lo, valid, k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "rows", "block_windows", "use_pallas")
+)
+def _count_flat_step(packed2, invpos, covered, k, rows, block_windows, use_pallas):
+    """Flat-transfer batch step: the minimum-byte device pipeline.
+
+    Unpacks a contiguous 2-bit stream slice, scatters invalid positions,
+    blockizes with reshape/slice on device, runs the rolling codec, and masks
+    windows at global index >= ``covered``. Returns raw per-window
+    (hi, lo, weight) with weight 1 for valid windows — deduplication happens
+    entirely in the table's LSM merge, so each window is sorted ~2x total
+    (merge + compaction) instead of 3x (a per-batch count_runs would re-sort
+    what the merge sorts again).
+    """
+    from ..ops.codec import encode_blocks, unpack_flat_blocks
+    from ..ops.pallas_codec import encode_blocks_pallas
+
+    blocks = unpack_flat_blocks(packed2, invpos, k, rows, block_windows)
+    enc = encode_blocks_pallas if use_pallas else encode_blocks
+    hi, lo, valid = enc(blocks, k, None, None)
+    w = block_windows
+    idx = jax.numpy.arange(rows * w, dtype=jax.numpy.int32).reshape(rows, w)
+    valid = valid & (idx < covered)
+    return hi, lo, valid.astype(jax.numpy.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "use_pallas"))
+def _dense_raw_step(packed2, badbits, k, width, use_pallas=False):
+    """Dense-mask batch step: unpack -> codec -> raw (hi, lo, weight)."""
+    from ..ops.codec import encode_blocks, unpack_2bit
+    from ..ops.pallas_codec import encode_blocks_pallas
+
+    codes = unpack_2bit(packed2, badbits, width)
+    enc = encode_blocks_pallas if use_pallas else encode_blocks
+    hi, lo, valid = enc(codes, k, None, None)
+    return hi, lo, valid.astype(jax.numpy.uint32)
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels require a TPU-like backend (not cpu/gpu)."""
     try:
@@ -285,39 +323,69 @@ class BatchEngine:
         progress: ProgressCallback | None = None,
         tracker: ProgressTracker | None = None,
     ) -> PackedCounts:
-        from ..io.packer import pack_buffer_2bit
+        from ..io.packer import flat_batches, pack_buffer_2bit
         from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
 
         cfg = self.config
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
-        acc = _HostAccumulator(cfg.host_compact_threshold)
         table = DeviceTable(k)
         use_pallas = cfg.use_pallas and _pallas_available()
+        epochs: list[tuple[np.ndarray, np.ndarray]] = []
 
         qual_stream = streams.qual if thr is not None else None
-        batches = pack_buffer_2bit(
-            streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
+        flat = (
+            flat_batches(
+                streams.codes, qual_stream, k, thr,
+                cfg.block_windows, cfg.batch_rows,
+            )
+            if cfg.use_flat
+            else None
         )
-        for batch in batches:
-            batch = self._pad_batch2(batch)
-            batch_windows = batch.packed2.shape[0] * batch.block_windows
-            if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
-                acc.add(*table.finalize())  # uint32 epoch headroom exhausted
-            with span("encode_count_batch", rows=batch.packed2.shape[0]):
-                u_hi, u_lo, u_cnt = _encode_count_packed_step(
-                    jax.numpy.asarray(batch.packed2),
-                    jax.numpy.asarray(batch.badbits),
-                    k,
-                    batch.width,
-                    use_pallas,
-                )
-                table.add(u_hi, u_lo, u_cnt, batch_windows)
+        if flat is not None:
+            for batch in flat:
+                batch_windows = batch.rows * batch.block_windows
+                if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+                    epochs.append(table.finalize())  # uint32 headroom exhausted
+                with span("encode_count_batch", rows=batch.rows):
+                    u_hi, u_lo, u_cnt = _count_flat_step(
+                        jax.numpy.asarray(batch.packed2),
+                        jax.numpy.asarray(batch.invpos),
+                        np.int32(batch.covered),
+                        k,
+                        batch.rows,
+                        batch.block_windows,
+                        use_pallas,
+                    )
+                    table.add(u_hi, u_lo, u_cnt, batch_windows)
+        else:  # dense path: invalid/quality-masked bases too numerous
+            batches = pack_buffer_2bit(
+                streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
+            )
+            for batch in batches:
+                batch = self._pad_batch2(batch)
+                batch_windows = batch.packed2.shape[0] * batch.block_windows
+                if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+                    epochs.append(table.finalize())
+                with span("encode_count_batch", rows=batch.packed2.shape[0]):
+                    u_hi, u_lo, u_cnt = _dense_raw_step(
+                        jax.numpy.asarray(batch.packed2),
+                        jax.numpy.asarray(batch.badbits),
+                        k,
+                        batch.width,
+                        use_pallas,
+                    )
+                    table.add(u_hi, u_lo, u_cnt, batch_windows)
         if tracker is not None:
             tracker.record_batch(streams.n_records, streams.n_bases)
             if progress is not None:
                 progress(tracker.snapshot())
-        acc.add(*table.finalize())
-        codes64, counts64 = acc.result()
+        epochs.append(table.finalize())
+        if len(epochs) == 1:
+            codes64, counts64 = epochs[0]  # already sorted and distinct
+        else:
+            codes64, counts64 = _merge_partials(
+                [e[0] for e in epochs], [e[1] for e in epochs]
+            )
         trace_event("unpack_kmers", unique_kmers=int(codes64.shape[0]))
         return PackedCounts(k, codes64, counts64)
 

@@ -106,6 +106,39 @@ def unpack_2bit(packed2: jax.Array, badbits: jax.Array, width: int) -> jax.Array
     return jnp.where(bad != 0, jnp.uint8(4), c.astype(jnp.uint8))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "rows", "block_windows"))
+def unpack_flat_blocks(
+    packed2: jax.Array,
+    invpos: jax.Array,
+    k: int,
+    rows: int,
+    block_windows: int,
+) -> jax.Array:
+    """Flat 2-bit slice + sparse invalid positions -> haloed code blocks.
+
+    The device half of the flat transfer path (io/packer.py FlatBatch):
+    unpacks 4 bases/byte, scatters INVALID at ``invpos`` (sentinel entries
+    >= stream length are dropped), and builds the [rows, W + k - 1] haloed
+    block tensor with reshape/slice only — no gathers. Row i covers stream
+    positions [i*W, (i+1)*W + k - 1).
+    """
+    w = block_windows
+    shifts4 = jnp.array([6, 4, 2, 0], jnp.uint8)
+    flat = ((packed2[:, None] >> shifts4[None, :]) & 3).reshape(-1)
+    flat = flat.astype(jnp.uint8).at[invpos].set(jnp.uint8(4), mode="drop")
+    # row i's main span is flat[i*w : (i+1)*w]; its halo is the k-1 codes
+    # after, i.e. the head of row i+1's span — one extra row's worth of
+    # padding makes the shifted reshape in-bounds
+    target = (rows + 1) * w
+    n = flat.shape[0]
+    if n < target:
+        flat = jnp.concatenate([flat, jnp.full(target - n, 4, jnp.uint8)])
+    else:
+        flat = flat[:target]
+    ext = flat.reshape(rows + 1, w)
+    return jnp.concatenate([ext[:-1], ext[1:, : k - 1]], axis=1)
+
+
 def split64(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host helper: uint64 codes -> (hi, lo) uint32 pair."""
     codes = np.asarray(codes, dtype=np.uint64)

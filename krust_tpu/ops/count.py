@@ -71,9 +71,13 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
 
     emit = is_end & (s_inv == 0)
     n_unique = jnp.sum(emit, dtype=jnp.int32)
+    return _compact_emitted(emit, s_hi, s_lo, run_sum) + (n_unique,)
 
-    # compaction via a single 1-key sort (cheaper than 3 scatters): emitted
-    # entries (key 0) move to the front, padding (key 1, zeroed) to the back
+
+def _compact_emitted(emit, s_hi, s_lo, run_sum):
+    """Move emitted entries to the front, KEY-SORTED (padding zeroed at the
+    back) — one 3-key sort, cheaper than 3 scatters; key order is what lets
+    the table's finalize pull reconstruct ``hi`` from a histogram."""
     pad_key = (~emit).astype(jnp.uint32)
     _, u_hi, u_lo, u_cnt = jax.lax.sort(
         (
@@ -82,10 +86,10 @@ def merge_weighted(hi: jax.Array, lo: jax.Array, weight: jax.Array, valid: jax.A
             jnp.where(emit, s_lo, 0),
             jnp.where(emit, run_sum, 0),
         ),
-        num_keys=1,
+        num_keys=3,
         is_stable=False,
     )
-    return u_hi, u_lo, u_cnt, n_unique
+    return u_hi, u_lo, u_cnt
 
 
 @jax.jit
@@ -144,18 +148,7 @@ def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
 
     emit = is_end & sorted_valid
     n_unique = jnp.sum(emit, dtype=jnp.int32)
-    pad_key = (~emit).astype(jnp.uint32)
-    _, u_hi, u_lo, u_cnt = jax.lax.sort(
-        (
-            pad_key,
-            jnp.where(emit, s_hi, 0),
-            jnp.where(emit, s_lo, 0),
-            jnp.where(emit, run_sum, 0),
-        ),
-        num_keys=1,
-        is_stable=False,
-    )
-    return u_hi, u_lo, u_cnt, n_unique
+    return _compact_emitted(emit, s_hi, s_lo, run_sum) + (n_unique,)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

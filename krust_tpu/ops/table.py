@@ -1,11 +1,23 @@
-"""Device-resident count table with amortized sort-merge compaction.
+"""Device-resident count table with amortized, pipeline-friendly compaction.
 
 Replaces per-batch device->host result pulls (disastrous on tunneled/remote
 TPUs and wasteful everywhere) with an on-device accumulator: per-batch
-compacted uniques append to a device-side part list; when pending parts
+run-length results append to a device-side part list; when pending parts
 outgrow the compacted table, everything concatenates and re-merges on device
-(LSM-style doubling, amortized O(n log n) total). The distinct table leaves
-the device exactly once, at finalize.
+(LSM-style doubling, amortized O(n log n) total).
+
+Two properties matter for wall-clock on a slow host<->device link:
+
+- **Deferred syncs.** A compaction's ``n_unique`` scalar is not read back
+  when the merge is dispatched; the full-length merge output is retained and
+  only sliced (one scalar sync) when the *next* compaction needs the table —
+  by which point several more batches are queued on the device, so the sync
+  overlaps useful work instead of stalling the feed pipeline.
+- **Slim finalize.** The distinct table leaves the device exactly once, in a
+  minimal-byte encoding: lo as uint32, counts as uint16 with host re-gather
+  of the rare >=0xFFFF saturations, and hi (zero for k<=16) reconstructed
+  from a tiny device-computed histogram when the hi-space is small
+  (k<=26). ~6 bytes/entry instead of 12.
 
 Count-width: parts carry uint32 counts. A single table epoch therefore must
 see < 2^31 windows; :class:`DeviceTable` tracks this and the engine flushes
@@ -15,6 +27,8 @@ arbitrarily large inputs (reference saturation contract: src/run.rs:569).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +37,10 @@ from .count import merge_runs
 
 #: windows per epoch bound, with headroom below 2^32 (counts are uint32)
 EPOCH_WINDOW_LIMIT = 1 << 31
+
+#: finalize pull granularity: slices round up to this, bounding both the
+#: over-pull (<1.6MB) and the number of distinct pull shapes compiled
+_PULL_QUANTUM = 1 << 18
 
 
 def _round_pow2(n: int) -> int:
@@ -36,6 +54,47 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _pull_size(n: int, limit: int) -> int:
+    cap = _round_pow2(n) if n < _PULL_QUANTUM else _round_up(n, _PULL_QUANTUM)
+    return min(cap, limit)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "hi_space", "raw_hi"))
+def _pull_fused(
+    hi: jax.Array,
+    lo: jax.Array,
+    cnt: jax.Array,
+    n: jax.Array,
+    cap: int,
+    hi_space: int,
+    raw_hi: bool,
+):
+    """Everything the host needs, as ONE uint8 buffer (one sync round-trip).
+
+    Layout: lo bytes [4*cap] | saturated uint8 counts [cap] | hi plane —
+    either a histogram of hi over the first n entries (hi is sorted;
+    ``hi_space`` int32 buckets) or, for large hi spaces, raw hi bytes
+    [4*cap]. Exact counts for saturated entries are re-gathered by the host.
+    """
+    lo_b = jax.lax.bitcast_convert_type(lo[:cap], jnp.uint8).reshape(-1)
+    cnt8 = jnp.minimum(cnt[:cap], 0xFF).astype(jnp.uint8)
+    if hi_space == 0:  # k <= 16: hi identically zero
+        hi_b = jnp.zeros(0, jnp.uint8)
+    elif raw_hi:
+        hi_b = jax.lax.bitcast_convert_type(hi[:cap], jnp.uint8).reshape(-1)
+    else:
+        hi_m = jnp.where(jnp.arange(cap) < n, hi[:cap], jnp.uint32(hi_space))
+        starts = jnp.searchsorted(hi_m, jnp.arange(hi_space, dtype=jnp.uint32))
+        hist = jnp.diff(jnp.append(starts.astype(jnp.int32), n.astype(jnp.int32)))
+        hi_b = jax.lax.bitcast_convert_type(hist, jnp.uint8).reshape(-1)
+    return jnp.concatenate([lo_b, cnt8, hi_b])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_u32(arr: jax.Array, idx: jax.Array):
+    return jnp.take(arr, idx, mode="clip")
+
+
 class DeviceTable:
     """Accumulates (hi, lo, count) uniques on device across batches."""
 
@@ -43,23 +102,37 @@ class DeviceTable:
         self._k = k  # enables sentinel-key merges (fewer sort operands)
         self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
         self._pending = 0
+        # resolved table: full-length merge output + known entry count
         self._table: tuple[jax.Array, jax.Array, jax.Array] | None = None
-        self._table_entries = 0  # distinct entries in the compacted table
+        self._table_entries = 0
+        # unresolved merge: full-length output + device-side entry count
+        self._merge: tuple[jax.Array, jax.Array, jax.Array] | None = None
+        self._merge_n: jax.Array | None = None
         self._max_parts = max_parts
         self.windows_this_epoch = 0
 
     def add(self, u_hi: jax.Array, u_lo: jax.Array, u_cnt: jax.Array, n_windows: int):
-        """Append one batch's compacted uniques (zero-count tail = padding)."""
+        """Append one batch's run-length results (zero-count tail = padding)."""
         self._parts.append((u_hi.reshape(-1), u_lo.reshape(-1), u_cnt.reshape(-1)))
         self._pending += u_hi.size
         self.windows_this_epoch += n_windows
-        table_size = self._table[0].shape[0] if self._table is not None else 0
-        # LSM-style trigger: let pending parts grow to ~2x the compacted table
-        # (amortizes re-sorts) but bound the part list for memory
-        if len(self._parts) >= self._max_parts or (
-            table_size and self._pending >= 2 * table_size
-        ):
+        # batch up parts before merging: each window is sorted exactly once
+        # regardless, so fewer merges = less per-merge overhead and fewer
+        # resolve syncs; max_parts bounds HBM held by pending raw parts
+        if len(self._parts) >= self._max_parts:
             self._compact()
+
+    def _resolve(self) -> None:
+        """Turn the in-flight merge into a sliced table (one scalar sync)."""
+        if self._merge is None:
+            return
+        n = int(self._merge_n)
+        m_hi, m_lo, m_cnt = self._merge
+        keep = min(_round_pow2(max(n, 1)), m_hi.shape[0])
+        self._table = (m_hi[:keep], m_lo[:keep], m_cnt[:keep])
+        self._table_entries = n
+        self._merge = None
+        self._merge_n = None
 
     def _concat(self):
         arrays = list(self._parts)
@@ -80,28 +153,80 @@ class DeviceTable:
         return hi, lo, cnt
 
     def _compact(self):
-        if not self._parts and self._table is not None:
+        self._resolve()  # syncs the previous merge; overlaps queued batches
+        if not self._parts:
             return
         hi, lo, cnt = self._concat()
         m_hi, m_lo, m_cnt, n_m = merge_runs(hi, lo, cnt, self._k)
-        n = int(n_m)  # one sync per compaction (amortized ~log(batches))
-        keep = min(_round_pow2(max(n, 1)), m_hi.shape[0])
-        self._table = (m_hi[:keep], m_lo[:keep], m_cnt[:keep])
-        self._table_entries = n
+        self._merge = (m_hi, m_lo, m_cnt)
+        self._merge_n = n_m
         self._parts = []
         self._pending = 0
-
-    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
-        """Compact and pull the distinct table to host: (codes u64, counts u64)."""
-        if not self._parts and self._table is None:
-            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-        self._compact()
-        hi, lo, cnt = self._table
-        n = self._table_entries
-        hi_h = np.asarray(hi[:n], dtype=np.uint64)
-        lo_h = np.asarray(lo[:n], dtype=np.uint64)
-        cnt_h = np.asarray(cnt[:n], dtype=np.uint64)
         self._table = None
         self._table_entries = 0
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Compact and pull the distinct table to host: (codes u64, counts u64).
+
+        Codes come back sorted ascending (merge compaction is key-ordered).
+        The pull is slim: uint32 lo + uint16 saturated counts (exact values
+        for saturated entries re-gathered individually) + hi via histogram
+        for k<=26 / raw uint32 above.
+        """
+        self._compact()
+        self._resolve()
+        n = self._table_entries
+        if self._table is None or n == 0:
+            self._reset()
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        t_hi, t_lo, t_cnt = self._table
+        cap = _pull_size(n, t_hi.shape[0])
+
+        k = self._k
+        if k <= 16:
+            hi_space, raw_hi = 0, False
+        elif k <= 26:
+            hi_space, raw_hi = 1 << (2 * k - 32), False
+        else:
+            hi_space, raw_hi = 1 << (2 * k - 32), True
+
+        buf = np.asarray(
+            _pull_fused(t_hi, t_lo, t_cnt, jnp.int32(n), cap, hi_space, raw_hi)
+        )
+        lo = buf[: 4 * cap].view(np.uint32)[:n].astype(np.uint64)
+        cnt8 = buf[4 * cap : 5 * cap][:n]
+        hi_plane = buf[5 * cap :]
+
+        counts = cnt8.astype(np.uint64)
+        sat = np.flatnonzero(cnt8 == 0xFF)
+        if sat.shape[0] > max(n // 8, 64):
+            # saturation-heavy table (tiny k / extreme duplication): one
+            # full-width count pull beats per-entry gathers
+            counts = np.asarray(t_cnt[:cap])[:n].astype(np.uint64)
+        elif sat.shape[0]:
+            p = _round_pow2(max(sat.shape[0], 8))
+            idx = np.zeros(p, np.int32)
+            idx[: sat.shape[0]] = sat
+            exact = np.asarray(_gather_u32(t_cnt, jnp.asarray(idx)))
+            counts[sat] = exact[: sat.shape[0]]
+
+        if hi_space == 0:
+            codes = lo
+        elif raw_hi:
+            hi = hi_plane.view(np.uint32)[:n].astype(np.uint64)
+            codes = (hi << np.uint64(32)) | lo
+        else:
+            hist = hi_plane.view(np.int32)
+            hi = np.repeat(np.arange(hi_space, dtype=np.uint64), hist)
+            codes = (hi << np.uint64(32)) | lo
+        self._reset()
+        return codes, counts
+
+    def _reset(self) -> None:
+        self._table = None
+        self._table_entries = 0
+        self._merge = None
+        self._merge_n = None
+        self._parts = []
+        self._pending = 0
         self.windows_this_epoch = 0
-        return (hi_h << np.uint64(32)) | lo_h, cnt_h

@@ -31,3 +31,8 @@ class EngineConfig:
 
     #: use the Pallas TPU kernel for the rolling codec when available
     use_pallas: bool = True
+
+    #: use the flat minimal-byte transfer path (2-bit stream slices + sparse
+    #: invalid positions) when invalid bases are sparse; falls back to the
+    #: dense badbits path automatically for dirty inputs
+    use_flat: bool = True

@@ -1,0 +1,144 @@
+"""Flat transfer path + slim table pull: differential and edge-case tests."""
+
+import numpy as np
+import pytest
+
+from krust_tpu.io.packer import flat_batches, invalid_positions, pack2_full
+from krust_tpu.io.reader import ParsedStreams
+from krust_tpu.kmer import INVALID_CODE
+from krust_tpu.models.engines import BatchEngine, NumpyEngine
+from krust_tpu.utils.config import EngineConfig
+
+
+def _random_stream(rng, n, p_invalid=0.0):
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    if p_invalid > 0:
+        bad = rng.random(n) < p_invalid
+        codes[bad] = INVALID_CODE
+    return codes
+
+
+def _counts_equal(a, b):
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.counts, b.counts)
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 15, 16, 17, 21, 26, 27, 31, 32])
+def test_flat_matches_numpy_across_k(k):
+    rng = np.random.default_rng(k)
+    codes = _random_stream(rng, 5000, p_invalid=0.01)
+    streams = ParsedStreams(codes, None, 1, 5000)
+    cfg = EngineConfig(block_windows=256, batch_rows=8)
+    flat = BatchEngine(cfg).count(streams, k)
+    oracle = NumpyEngine(cfg).count(streams, k)
+    _counts_equal(flat, oracle)
+
+
+@pytest.mark.parametrize("k", [3, 21])
+def test_dense_fallback_matches_numpy(k):
+    """>1/32 invalid bases routes to the dense badbits path."""
+    rng = np.random.default_rng(7)
+    codes = _random_stream(rng, 4000, p_invalid=0.2)
+    streams = ParsedStreams(codes, None, 1, 4000)
+    cfg = EngineConfig(block_windows=256, batch_rows=8)
+    assert flat_batches(codes, None, k, None, 256, 8) is None
+    dense = BatchEngine(cfg).count(streams, k)
+    oracle = NumpyEngine(cfg).count(streams, k)
+    _counts_equal(dense, oracle)
+
+
+def test_flat_vs_dense_same_result():
+    rng = np.random.default_rng(3)
+    codes = _random_stream(rng, 3000, p_invalid=0.005)
+    streams = ParsedStreams(codes, None, 1, 3000)
+    flat = BatchEngine(EngineConfig(block_windows=256, batch_rows=8)).count(
+        streams, 9
+    )
+    dense = BatchEngine(
+        EngineConfig(block_windows=256, batch_rows=8, use_flat=False)
+    ).count(streams, 9)
+    _counts_equal(flat, dense)
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 4, 7, 20, 255, 256, 257, 275, 276, 277, 1000]
+)
+def test_flat_tail_sizes(n):
+    """Tails around block/byte boundaries (k=21, W=256: t=n-20)."""
+    rng = np.random.default_rng(n)
+    codes = _random_stream(rng, n) if n else np.zeros(0, np.uint8)
+    streams = ParsedStreams(codes, None, 1, n)
+    cfg = EngineConfig(block_windows=256, batch_rows=8)
+    flat = BatchEngine(cfg).count(streams, 21)
+    oracle = NumpyEngine(cfg).count(streams, 21)
+    _counts_equal(flat, oracle)
+
+
+def test_flat_quality_folded_into_positions():
+    rng = np.random.default_rng(11)
+    n = 2000
+    codes = _random_stream(rng, n)
+    qual = rng.integers(33, 90, size=n, dtype=np.uint8)
+    streams = ParsedStreams(codes, qual, 1, n)
+    cfg = EngineConfig(block_windows=256, batch_rows=8)
+    # threshold passes most bases -> sparse path eligible
+    flat = BatchEngine(cfg).count(streams, 7, min_quality=2)
+    oracle = NumpyEngine(cfg).count(streams, 7, min_quality=2)
+    _counts_equal(flat, oracle)
+
+
+def test_pack2_full_roundtrip():
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 3, 4, 5, 8, 1023):
+        codes = rng.integers(0, 5, size=n, dtype=np.uint8)
+        packed = pack2_full(codes)
+        assert packed.shape[0] == -(-n // 4)
+        shifts = np.array([6, 4, 2, 0], np.uint8)
+        unpacked = ((packed[:, None] >> shifts) & 3).reshape(-1)[:n]
+        assert np.array_equal(unpacked, codes & 3)
+
+
+def test_invalid_positions_with_quality():
+    codes = np.array([0, 1, 4, 2, 3], np.uint8)
+    qual = np.array([70, 33, 0xFF, 70, 70], np.uint8)
+    pos = invalid_positions(codes, qual, 53)
+    assert pos.tolist() == [1, 2]
+
+
+def test_count_saturation_uint16_exception_path():
+    """A count above 0xFFFF survives the uint16 slim pull exactly."""
+    n = 70_000
+    codes = np.zeros(n, np.uint8)  # poly-A: one k-mer, count n-k+1 > 65535
+    streams = ParsedStreams(codes, None, 1, n)
+    cfg = EngineConfig(block_windows=256, batch_rows=32)
+    res = BatchEngine(cfg).count(streams, 5)
+    assert res.distinct == 1
+    assert int(res.counts[0]) == n - 5 + 1
+
+
+def test_epoch_flush_merges_exactly(monkeypatch):
+    """Force tiny epochs; multi-epoch merge must equal single-epoch counts."""
+    import krust_tpu.ops.table as table_mod
+
+    rng = np.random.default_rng(19)
+    codes = _random_stream(rng, 6000, p_invalid=0.01)
+    streams = ParsedStreams(codes, None, 1, 6000)
+    cfg = EngineConfig(block_windows=256, batch_rows=8)
+    oracle = NumpyEngine(cfg).count(streams, 11)
+    monkeypatch.setattr(table_mod, "EPOCH_WINDOW_LIMIT", 4096)
+    import krust_tpu.models.engines as eng_mod
+
+    monkeypatch.setattr(eng_mod, "EPOCH_WINDOW_LIMIT", 4096, raising=False)
+    res = BatchEngine(cfg).count(streams, 11)
+    _counts_equal(res, oracle)
+
+
+def test_finalize_codes_sorted():
+    rng = np.random.default_rng(23)
+    codes = _random_stream(rng, 4000)
+    streams = ParsedStreams(codes, None, 1, 4000)
+    for k in (8, 21, 29):
+        res = BatchEngine(EngineConfig(block_windows=256, batch_rows=8)).count(
+            streams, k
+        )
+        assert np.all(np.diff(res.codes.astype(np.uint64)) > 0)

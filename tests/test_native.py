@@ -133,3 +133,38 @@ def test_fixture_files(fixtures_dir):
         got = native.parse_fastq_native(data)
         np.testing.assert_array_equal(got[0], exp[0])
         np.testing.assert_array_equal(got[1], exp[1])
+
+
+def test_scan_stream_matches_numpy():
+    from krust_tpu.io.packer import invalid_positions, pack2_full
+
+    rng = np.random.default_rng(31)
+    for n in (0, 1, 5, 8, 1000, 4099):
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        if n:
+            codes[rng.random(n) < 0.01] = 4
+        res = native.scan_stream_native(codes, None, None, max(n, 8))
+        if res is None:
+            pytest.skip("native lib unavailable")
+        packed2, inv, n_inv = res
+        np.testing.assert_array_equal(inv, invalid_positions(codes))
+        np.testing.assert_array_equal(packed2, pack2_full(codes))
+
+
+def test_scan_stream_quality_fold():
+    codes = np.array([0, 1, 2, 3, 4, 0, 1, 2, 3], np.uint8)
+    qual = np.array([70, 33, 70, 70, 0xFF, 70, 34, 70, 70], np.uint8)
+    res = native.scan_stream_native(codes, qual, 53, 8)
+    if res is None:
+        pytest.skip("native lib unavailable")
+    _, inv, n_inv = res
+    assert inv.tolist() == [1, 4, 6]
+
+
+def test_scan_stream_early_exit_dirty():
+    codes = np.full(1000, 4, np.uint8)
+    res = native.scan_stream_native(codes, None, None, 10)
+    if res is None:
+        pytest.skip("native lib unavailable")
+    _, _, n_inv = res
+    assert n_inv == 11  # max_inv + 1 sentinel

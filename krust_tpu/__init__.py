@@ -46,6 +46,9 @@ from .api import (
     count_kmers_stdin_with_format,
     count_kmers_from_sequences,
     count_kmers_from_sequences_packed,
+    count_kmers_sniffed,
+    count_kmers_sharded,
+    count_kmers_sharded_result,
     count_with_input,
     run,
     run_with_options,
@@ -105,6 +108,9 @@ __all__ = [
     "count_kmers_from_reader_packed",
     "count_kmers_stdin",
     "count_kmers_stdin_with_format",
+    "count_kmers_sniffed",
+    "count_kmers_sharded",
+    "count_kmers_sharded_result",
     "count_kmers_from_sequences",
     "count_kmers_from_sequences_packed",
     "count_with_input",

@@ -102,6 +102,59 @@ def count_kmers_mmap(path: str | os.PathLike, k: int) -> dict[str, int]:
     return count_streams(streams, KmerLength(k).get()).to_string_dict()
 
 
+def count_kmers_sniffed(path: str | os.PathLike, k: int) -> dict[str, int]:
+    """Count with content-based format detection — the runtime equivalent of
+    the reference's needletail reader backend (reference: src/reader.rs
+    needletail cfg variants): the first non-whitespace byte picks
+    FASTA ('>') or FASTQ ('@') regardless of the file extension.
+    """
+    kk = KmerLength(k).get()
+    data = read_input_bytes(path)
+    resolved = SequenceFormat.AUTO.resolve_with_content(path, data)
+    streams = parse_to_streams(data, resolved)
+    return count_streams(streams, kk).to_string_dict()
+
+
+def count_kmers_sharded(
+    path: str | os.PathLike,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+    mesh=None,
+    config: EngineConfig | None = None,
+) -> dict[str, int]:
+    """Count across every device of a mesh (all local chips by default).
+
+    The distributed entry point (new capability — the reference is
+    single-process; SURVEY.md §5): read blocks shard data-parallel over the
+    mesh's ``data`` axis, each chip encodes and counts its shard, and the
+    per-chip tables merge via a hash-sharded all-to-all. Results are exact
+    and bit-identical to the single-device engine. For multi-host pods call
+    :func:`krust_tpu.parallel.mesh.init_distributed` first.
+    """
+    counts = count_kmers_sharded_result(path, k, fmt, min_quality, mesh, config)
+    return counts.to_string_dict()
+
+
+def count_kmers_sharded_result(
+    path: str | os.PathLike,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+    mesh=None,
+    config: EngineConfig | None = None,
+) -> PackedCounts:
+    """Packed-result variant of :func:`count_kmers_sharded`."""
+    from .parallel.sharded import count_sharded
+
+    kk = KmerLength(k).get()
+    resolved = fmt.resolve(path)
+    with span("read_sequences", path=str(path), format=str(resolved)):
+        data = read_input_bytes(path)
+        streams = parse_to_streams(data, resolved)
+    return count_sharded(streams, kk, min_quality, mesh, config)
+
+
 # --- packed + streaming API (reference: src/streaming.rs) ---------------------------
 
 

@@ -130,6 +130,22 @@ class KmerCounter:
         """Batched count path (reference: src/builder.rs count_streaming)."""
         return self.count(path)
 
+    def count_sharded(self, path: str | os.PathLike, mesh=None) -> dict[str, int]:
+        """Count across every device of a mesh (new capability; exact and
+        bit-identical to the single-device engine). See
+        :func:`krust_tpu.api.count_kmers_sharded`."""
+        from .api import count_kmers_sharded
+
+        counts = count_kmers_sharded(
+            path,
+            self._require_k(),
+            self._input_format,
+            self._min_quality,
+            mesh,
+            self._config,
+        )
+        return self._filtered(counts)
+
     def count_mmap(self, path: str | os.PathLike) -> dict[str, int]:
         """Memory-mapped count (reference: src/builder.rs count_mmap)."""
         k = self._require_k()

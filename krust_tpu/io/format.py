@@ -29,6 +29,29 @@ class SequenceFormat(enum.Enum):
             return cls.FASTQ
         return cls.FASTA
 
+    @classmethod
+    def from_content(cls, data: bytes) -> "SequenceFormat":
+        """Content-based detection: the runtime equivalent of the reference's
+        needletail backend (reference: src/reader.rs cfg(feature="needletail"),
+        which sniffs record type from the first byte instead of the path).
+
+        The first non-whitespace byte decides: ``>`` -> FASTA, ``@`` -> FASTQ.
+        Anything else (or empty input) raises ValueError, matching
+        needletail's rejection of headerless input
+        (reference: tests/library_tests.rs:177-196).
+        """
+        for b in data:
+            if b in (0x20, 0x09, 0x0A, 0x0D):  # space, tab, \n, \r
+                continue
+            if b == 0x3E:  # '>'
+                return cls.FASTA
+            if b == 0x40:  # '@'
+                return cls.FASTQ
+            break
+        raise ValueError(
+            "cannot detect sequence format: input does not start with '>' or '@'"
+        )
+
     def resolve(self, path: str | PurePath | None) -> "SequenceFormat":
         """Resolve AUTO to a concrete format (reference: src/format.rs:97-102)."""
         if self is not SequenceFormat.AUTO:
@@ -36,6 +59,18 @@ class SequenceFormat(enum.Enum):
         if path is None:
             return SequenceFormat.FASTA
         return SequenceFormat.from_extension(path)
+
+    def resolve_with_content(
+        self, path: str | PurePath | None, data: bytes
+    ) -> "SequenceFormat":
+        """Resolve AUTO by sniffing the bytes (needletail-backend behavior),
+        falling back to extension rules when the content is ambiguous."""
+        if self is not SequenceFormat.AUTO:
+            return self
+        try:
+            return SequenceFormat.from_content(data)
+        except ValueError:
+            return self.resolve(path)
 
     @property
     def is_fastq(self) -> bool:

@@ -1,0 +1,69 @@
+"""Differential oracle vs the real Jellyfish binary, when installed.
+
+The reference carries the same suite as `#[ignore]`d tests run only when
+jellyfish is on PATH (reference: tests/jellyfish_compat.rs:34-325). Jellyfish
+with -C counts canonical k-mers exactly like this engine, so full count-map
+equality is the assertion. Skipped (not failed) when the binary is absent.
+"""
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from krust_tpu import count_kmers
+
+jellyfish = shutil.which("jellyfish")
+pytestmark = pytest.mark.skipif(
+    jellyfish is None, reason="jellyfish binary not installed"
+)
+
+
+def _jellyfish_counts(path, k, tmpdir):
+    out = str(tmpdir / "jf.out")
+    subprocess.run(
+        [jellyfish, "count", "-m", str(k), "-C", "-s", "1M", "-o", out, str(path)],
+        check=True,
+        capture_output=True,
+    )
+    dump = subprocess.run(
+        [jellyfish, "dump", "-c", out], check=True, capture_output=True, text=True
+    )
+    counts = {}
+    for line in dump.stdout.splitlines():
+        kmer, cnt = line.split()
+        counts[kmer] = int(cnt)
+    return counts
+
+
+def _write_fasta(tmpdir, seqs):
+    p = tmpdir / "in.fa"
+    p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    return p
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 11, 21, 31])
+def test_simple_equality(tmp_path, k):
+    path = _write_fasta(tmp_path, ["ACGTACGTACGTACGTACGTACGTACGTACGT", "GATTACA"])
+    assert count_kmers(path, k) == _jellyfish_counts(path, k, tmp_path)
+
+
+@pytest.mark.parametrize("k", [3, 15, 21])
+def test_n_and_softmask_equality(tmp_path, k):
+    path = _write_fasta(
+        tmp_path,
+        ["ACGTNNNACGTACGTACGTNACGTACGTACGT", "aaaaTTTTggggCCCC", "NNNN"],
+    )
+    assert count_kmers(path, k) == _jellyfish_counts(path, k, tmp_path)
+
+
+@pytest.mark.parametrize("k", [5, 21])
+def test_random_genome_equality(tmp_path, k):
+    rng = np.random.default_rng(99)
+    seqs = [
+        "".join(np.array(list("ACGT"))[rng.integers(0, 4, size=500)])
+        for _ in range(20)
+    ]
+    path = _write_fasta(tmp_path, seqs)
+    assert count_kmers(path, k) == _jellyfish_counts(path, k, tmp_path)

@@ -98,7 +98,11 @@ def _gather_u32(arr: jax.Array, idx: jax.Array):
 class DeviceTable:
     """Accumulates (hi, lo, count) uniques on device across batches."""
 
-    def __init__(self, k: int = 32, max_parts: int = 4):
+    #: max entries across pending parts before a forced merge — bounds the
+    #: merge input (plus temps, XLA sort uses ~3x) well inside v5e's 16GB HBM
+    PENDING_ENTRY_LIMIT = 280_000_000
+
+    def __init__(self, k: int = 32, max_parts: int = 8):
         self._k = k  # enables sentinel-key merges (fewer sort operands)
         self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
         self._pending = 0
@@ -118,8 +122,12 @@ class DeviceTable:
         self.windows_this_epoch += n_windows
         # batch up parts before merging: each window is sorted exactly once
         # regardless, so fewer merges = less per-merge overhead and fewer
-        # resolve syncs; max_parts bounds HBM held by pending raw parts
-        if len(self._parts) >= self._max_parts:
+        # resolve syncs; max_parts / the entry limit bound HBM held by
+        # pending raw parts and the merge working set
+        if (
+            len(self._parts) >= self._max_parts
+            or self._pending >= self.PENDING_ENTRY_LIMIT
+        ):
             self._compact()
 
     def _resolve(self) -> None:

@@ -3,22 +3,27 @@
 The distributed design (new — the reference has no distributed layer; see
 SURVEY.md §5 "Distributed communication backend"):
 
-1. **Data-parallel encode/count.** Block rows shard across the ``data`` mesh
-   axis. Each chip runs the rolling codec and a local sort-count, so the
-   exchange below moves deduplicated (code, count) pairs, not raw windows.
-2. **Hash-sharded all-to-all.** Each local unique key is assigned an owner
-   chip ``hash(code) % n``; entries are bucketed per owner into a fixed
-   per-destination capacity and exchanged with ``jax.lax.all_to_all`` over
-   ICI. After the exchange every chip holds all partials for a disjoint hash
-   range of the key space.
-3. **Segment reduce.** A weighted sort-merge collapses the received partials
-   into the chip's final table shard.
+1. **Data-parallel encode.** Block rows shard across the ``data`` mesh axis;
+   each chip runs the rolling codec on its shard, producing raw per-window
+   (hi, lo, weight) entries that feed a *device-resident per-chip table*.
+2. **Per-chip LSM tables.** Each chip accumulates and periodically
+   sort-merges its own partial table locally (:class:`ShardedTable`, the
+   shard_map twin of ops/table.DeviceTable) — zero communication while
+   batches stream, and the same deferred-sync pipelining so scalar
+   readbacks overlap queued work.
+3. **One hash-sharded all-to-all at finalize.** Each chip's deduplicated
+   table entries are bucketed by owner ``hash(code) % n`` and exchanged with
+   ``jax.lax.all_to_all`` over ICI, so the wire carries distinct
+   (code, count) pairs — a fraction of the raw window count — exactly once.
+   After a weighted segment-merge every chip holds the final counts for a
+   disjoint hash range.
 
-Capacity handling: bucket sizes are data-dependent, but keys are deduplicated
-and the hash mixes well, so per-destination load concentrates at mean
-``n_unique / n``. The kernel uses a safety factor and reports an overflow
-flag; on overflow (pathological skew) the caller retries with a larger factor
-— exactness is never silently compromised.
+Capacity handling: per-destination bucket sizes are data-dependent, but the
+exchanged entries are deduplicated and the hash mixes well, so load
+concentrates at mean ``n_unique / n``. The kernel uses a safety factor and
+reports an overflow flag; on overflow (pathological skew) the caller retries
+the exchange with a larger factor — tables are still device-resident, and
+exactness is never silently compromised.
 
 Determinism: sort-based dedup/merge is order-insensitive, so results are
 bit-identical across mesh shapes (tested in tests/test_sharded.py).
@@ -42,7 +47,8 @@ from ..models.engines import (
     _quality_threshold,
 )
 from ..ops.codec import encode_blocks
-from ..ops.count import count_runs, merge_runs
+from ..ops.count import merge_runs
+from ..ops.table import EPOCH_WINDOW_LIMIT
 from ..utils.config import EngineConfig
 from ..utils.tracing import span
 from .mesh import DATA_AXIS, make_mesh
@@ -61,10 +67,73 @@ def _owner_of(hi: jax.Array, lo: jax.Array, n: int) -> jax.Array:
     return (h % jnp.uint32(n)).astype(jnp.int32)
 
 
+def _round_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "quality_threshold", "mesh")
+)
+def _encode_sharded(codes, qual, k, quality_threshold, mesh):
+    """Rolling codec over row-sharded blocks -> raw sharded (hi, lo, weight).
+
+    Pure data-parallel (no collectives): outputs stay sharded on the same
+    axis, one flat [n_dev * rows_local * w] lane per chip.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+
+    def local_fn(codes_l, qual_l=None):
+        hi, lo, valid = encode_blocks(codes_l, k, qual_l, quality_threshold)
+        return (
+            hi.reshape(1, -1),
+            lo.reshape(1, -1),
+            valid.astype(jnp.uint32).reshape(1, -1),
+        )
+
+    out_spec = (P(DATA_AXIS, None),) * 3
+    row_spec = P(DATA_AXIS, None)
+    if qual is None:
+        return jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(row_spec,), out_specs=out_spec,
+            check_vma=False,
+        )(codes)
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(row_spec, row_spec), out_specs=out_spec,
+        check_vma=False,
+    )(codes, qual)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def _merge_sharded(hi, lo, cnt, k, mesh):
+    """Per-chip local merge of concatenated sharded parts (no collectives).
+
+    Inputs are [n_dev, L]; each chip merge-compacts its own row. Returns
+    ([n_dev, L] hi/lo/cnt front-compacted, [n_dev] n_unique).
+    """
+
+    def local_fn(hi_l, lo_l, cnt_l):
+        m_hi, m_lo, m_cnt, n_m = merge_runs(
+            hi_l.reshape(-1), lo_l.reshape(-1), cnt_l.reshape(-1), k
+        )
+        return m_hi[None], m_lo[None], m_cnt[None], n_m[None]
+
+    spec = P(DATA_AXIS, None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=(spec, spec, spec, P(DATA_AXIS)),
+        check_vma=False,
+    )(hi, lo, cnt)
+
+
 def _exchange_and_merge(u_hi, u_lo, u_cnt, *, k: int, axis: str, n_dev: int, cap: int):
     """Bucket local uniques by owner, all-to-all, merge received partials.
 
-    Runs inside shard_map. Inputs are the uncompacted run-length counts
+    Runs inside shard_map. Inputs hold live entries wherever ``u_cnt > 0``
     (zero count = padding). ``cap`` is the per-destination entry capacity.
     Returns (m_hi, m_lo, m_cnt, n_m, overflowed) where the m_* arrays hold
     this chip's final hash-range table compacted to the front.
@@ -99,73 +168,121 @@ def _exchange_and_merge(u_hi, u_lo, u_cnt, *, k: int, axis: str, n_dev: int, cap
     return m_hi, m_lo, m_cnt, n_m, overflowed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "quality_threshold", "mesh", "capacity_factor"),
-)
-def sharded_count_step(
-    codes: jax.Array,
-    qual: jax.Array | None,
-    k: int,
-    quality_threshold: int | None,
-    mesh: Mesh,
-    capacity_factor: int = 4,
-):
-    """One full multi-chip counting step over a sharded block batch.
-
-    Args:
-      codes: [B, W + k - 1] uint8, B divisible by mesh size, sharded on rows.
-      qual: optional aligned quality bytes.
-      k / quality_threshold: static codec parameters.
-      mesh: 1-D device mesh with axis ``data``.
-      capacity_factor: per-destination capacity multiplier over the uniform
-        load ``local_windows / n``.
-
-    Returns per-chip-stacked arrays (leading dim = n_dev):
-      (m_hi, m_lo, m_cnt, n_m, overflowed[1]) — chip d's rows hold its final
-      hash-range table in the first n_m[d] slots.
-    """
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "cap"))
+def _exchange_sharded(hi, lo, cnt, k, mesh, cap):
+    """Finalize collective: hash-shard per-chip tables, merge per hash range."""
     n_dev = mesh.shape[DATA_AXIS]
-    rows_local = codes.shape[0] // n_dev
-    w = codes.shape[1] - (k - 1)
-    n_loc = rows_local * w
-    cap = min(max(64, (n_loc // n_dev) * capacity_factor), n_loc)
 
-    def local_fn(codes_l, qual_l=None):
-        hi, lo, valid = encode_blocks(codes_l, k, qual_l, quality_threshold)
-        u_hi, u_lo, u_cnt = count_runs(hi, lo, valid, k)
+    def local_fn(hi_l, lo_l, cnt_l):
         m_hi, m_lo, m_cnt, n_m, ovf = _exchange_and_merge(
-            u_hi, u_lo, u_cnt, k=k, axis=DATA_AXIS, n_dev=n_dev, cap=cap
+            hi_l.reshape(-1),
+            lo_l.reshape(-1),
+            cnt_l.reshape(-1),
+            k=k,
+            axis=DATA_AXIS,
+            n_dev=n_dev,
+            cap=cap,
         )
-        return (
-            m_hi[None],
-            m_lo[None],
-            m_cnt[None],
-            n_m[None],
-            ovf[None],
-        )
+        return m_hi[None], m_lo[None], m_cnt[None], n_m[None], ovf[None]
 
-    out_spec = (
-        P(DATA_AXIS, None),
-        P(DATA_AXIS, None),
-        P(DATA_AXIS, None),
-        P(DATA_AXIS),
-        P(DATA_AXIS),
-    )
-    row_spec = P(DATA_AXIS, None)
-    if qual is None:
-        return jax.shard_map(
-            local_fn, mesh=mesh, in_specs=(row_spec,), out_specs=out_spec,
-            check_vma=False,
-        )(codes)
+    spec = P(DATA_AXIS, None)
     return jax.shard_map(
-        local_fn, mesh=mesh, in_specs=(row_spec, row_spec), out_specs=out_spec,
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=(spec, spec, spec, P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
-    )(codes, qual)
+    )(hi, lo, cnt)
 
 
 class CapacityOverflow(RuntimeError):
     """Hash-shard destination capacity exceeded; retry with a larger factor."""
+
+
+class ShardedTable:
+    """Per-chip device-resident LSM count tables (the sharded DeviceTable).
+
+    Accumulates raw sharded (hi, lo, weight) parts; merges each chip's
+    partials locally every ``max_parts`` batches with the same deferred-sync
+    discipline as ops/table.DeviceTable (merge outputs retained full-length,
+    the [n_dev] n_unique vector read back one compaction later). No
+    collectives until :meth:`exchange`.
+    """
+
+    def __init__(self, k: int, mesh: Mesh, max_parts: int = 8):
+        self._k = k
+        self._mesh = mesh
+        self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
+        self._table: tuple[jax.Array, jax.Array, jax.Array] | None = None
+        self._table_entries = 0  # max over chips
+        self._merge = None
+        self._merge_n = None
+        self._max_parts = max_parts
+        self.windows_this_epoch = 0
+
+    def add(self, hi: jax.Array, lo: jax.Array, cnt: jax.Array, n_windows: int):
+        self._parts.append((hi, lo, cnt))
+        self.windows_this_epoch += n_windows
+        if len(self._parts) >= self._max_parts:
+            self._compact()
+
+    def _resolve(self) -> None:
+        if self._merge is None:
+            return
+        n = int(np.asarray(self._merge_n).max())
+        m_hi, m_lo, m_cnt = self._merge
+        keep = min(_round_pow2(max(n, 1)), m_hi.shape[1])
+        self._table = (m_hi[:, :keep], m_lo[:, :keep], m_cnt[:, :keep])
+        self._table_entries = n
+        self._merge = None
+        self._merge_n = None
+
+    def _compact(self):
+        self._resolve()
+        if not self._parts:
+            return
+        arrays = list(self._parts)
+        if self._table is not None:
+            arrays.append(self._table)
+        hi = jnp.concatenate([a[0] for a in arrays], axis=1)
+        lo = jnp.concatenate([a[1] for a in arrays], axis=1)
+        cnt = jnp.concatenate([a[2] for a in arrays], axis=1)
+        m_hi, m_lo, m_cnt, n_m = _merge_sharded(hi, lo, cnt, self._k, self._mesh)
+        self._merge = (m_hi, m_lo, m_cnt)
+        self._merge_n = n_m
+        self._parts = []
+        self._table = None
+        self._table_entries = 0
+
+    def exchange(self, capacity_factor: int = 4):
+        """All-to-all the per-chip tables into disjoint hash-range shards.
+
+        Returns (m_hi, m_lo, m_cnt, n_m) per-chip-stacked final tables.
+        Raises :class:`CapacityOverflow` after escalating retries.
+        """
+        self._compact()
+        self._resolve()
+        if self._table is None:
+            return None
+        t_hi, t_lo, t_cnt = self._table
+        n_dev = self._mesh.shape[DATA_AXIS]
+        n_loc = t_hi.shape[1]
+        for factor in (capacity_factor, capacity_factor * 4, 0):
+            if factor == 0:
+                raise CapacityOverflow(
+                    "hash-shard capacity exceeded even at 16x uniform load"
+                )
+            cap = min(max(64, -(-n_loc // n_dev) * factor), n_loc)
+            with span("sharded_exchange", devices=n_dev, cap=cap):
+                m_hi, m_lo, m_cnt, n_m, ovf = _exchange_sharded(
+                    t_hi, t_lo, t_cnt, self._k, self._mesh, cap
+                )
+            if not bool(np.asarray(ovf).any()):
+                break
+        self._table = None
+        self._table_entries = 0
+        self.windows_this_epoch = 0
+        return m_hi, m_lo, m_cnt, n_m
 
 
 def count_sharded(
@@ -177,9 +294,10 @@ def count_sharded(
 ) -> PackedCounts:
     """Count a parsed input across all mesh devices; exact result.
 
-    Shards block batches data-parallel, merges via hash-sharded all-to-all,
-    gathers the per-chip table shards, and concatenates on host (shards are
-    disjoint by construction).
+    Streams block batches data-parallel into per-chip device-resident
+    tables, exchanges the deduplicated tables once per epoch via
+    hash-sharded all-to-all, gathers the per-chip hash-range shards, and
+    concatenates on host (shards are disjoint by construction).
     """
     cfg = config or EngineConfig()
     mesh = mesh or make_mesh()
@@ -189,6 +307,23 @@ def count_sharded(
 
     sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     acc = _HostAccumulator(cfg.host_compact_threshold)
+    table = ShardedTable(k, mesh)
+
+    def flush_epoch():
+        result = table.exchange()
+        if result is None:
+            return
+        m_hi, m_lo, m_cnt, n_m = result
+        n_m = np.asarray(n_m)
+        m_hi = np.asarray(m_hi, dtype=np.uint64)
+        m_lo = np.asarray(m_lo, dtype=np.uint64)
+        m_cnt = np.asarray(m_cnt, dtype=np.uint64)
+        for d in range(n_dev):
+            nd = int(n_m[d])
+            if nd:
+                acc.add(
+                    (m_hi[d, :nd] << np.uint64(32)) | m_lo[d, :nd], m_cnt[d, :nd]
+                )
 
     batches = pack_buffer(
         streams.codes,
@@ -208,31 +343,16 @@ def count_sharded(
             if qual is not None:
                 qual = np.vstack([qual, np.full((pad, qual.shape[1]), 0xFF, np.uint8)])
 
+        batch_windows = codes.shape[0] * batch.block_windows
+        if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+            flush_epoch()  # uint32 count headroom exhausted
+
         codes_d = jax.device_put(codes, sharding)
         qual_d = jax.device_put(qual, sharding) if qual is not None else None
+        with span("sharded_encode", rows=codes.shape[0], devices=n_dev):
+            hi, lo, cnt = _encode_sharded(codes_d, qual_d, k, thr, mesh)
+        table.add(hi, lo, cnt, batch_windows)
 
-        for factor in (4, 16, 0):
-            if factor == 0:
-                raise CapacityOverflow(
-                    "hash-shard capacity exceeded even at 16x uniform load"
-                )
-            with span("sharded_count_step", rows=codes.shape[0], devices=n_dev):
-                m_hi, m_lo, m_cnt, n_m, ovf = sharded_count_step(
-                    codes_d, qual_d, k, thr, mesh, factor
-                )
-            if not bool(np.asarray(ovf).any()):
-                break
-
-        n_m = np.asarray(n_m)
-        m_hi = np.asarray(m_hi, dtype=np.uint64)
-        m_lo = np.asarray(m_lo, dtype=np.uint64)
-        m_cnt = np.asarray(m_cnt, dtype=np.uint64)
-        for d in range(n_dev):
-            nd = int(n_m[d])
-            if nd:
-                acc.add(
-                    (m_hi[d, :nd] << np.uint64(32)) | m_lo[d, :nd], m_cnt[d, :nd]
-                )
-
+    flush_epoch()
     codes64, counts64 = acc.result()
     return PackedCounts(k, codes64, counts64)

@@ -78,10 +78,9 @@ def _get_lib() -> ctypes.CDLL | None:
             lib.krust_pack2.restype = None
             lib.krust_pack2.argtypes = [u8p, ctypes.c_int64, u8p]
         if hasattr(lib, "krust_scan_stream"):
-            i32p = ctypes.POINTER(ctypes.c_int32)
             lib.krust_scan_stream.restype = ctypes.c_int64
             lib.krust_scan_stream.argtypes = [
-                u8p, ctypes.c_int64, u8p, ctypes.c_int32, u8p, i32p,
+                u8p, ctypes.c_int64, u8p, ctypes.c_int32, u8p, i64p,
                 ctypes.c_int64,
             ]
         _LIB = lib
@@ -148,7 +147,7 @@ def scan_stream_native(
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = codes.shape[0]
     packed2 = np.empty(max(-(-n // 4), 1), dtype=np.uint8)
-    invpos = np.empty(max(max_inv, 1), dtype=np.int32)
+    invpos = np.empty(max(max_inv, 1), dtype=np.int64)
     qp = None
     thr = -1
     if qual is not None and quality_threshold is not None:
@@ -161,7 +160,7 @@ def scan_stream_native(
         qp,
         thr,
         _as_u8p(packed2),
-        invpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        invpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_inv,
     )
     if n_inv > max_inv:

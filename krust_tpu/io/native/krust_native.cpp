@@ -211,7 +211,7 @@ void krust_pack2(const uint8_t* codes, int64_t n, uint8_t* out) {
 // the count would exceed max_inv (early exit; caller falls back to the
 // dense-mask path and must discard the partial outputs).
 int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
-                          int32_t thr, uint8_t* packed2, int32_t* invpos,
+                          int32_t thr, uint8_t* packed2, int64_t* invpos,
                           int64_t max_inv) {
     int64_t n_inv = 0;
     const int64_t full = n / 4;
@@ -227,7 +227,7 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
             for (int j = 0; j < 4; ++j) {
                 if (codes[i + j] > 3 || (qual && qual[i + j] < thr)) {
                     if (n_inv >= max_inv) return max_inv + 1;
-                    invpos[n_inv++] = static_cast<int32_t>(i + j);
+                    invpos[n_inv++] = i + j;  // int64: streams exceed 2^31
                 }
             }
         }
@@ -238,7 +238,7 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
             v |= static_cast<uint8_t>((codes[i] & 3) << (6 - 2 * (i - full * 4)));
             if (codes[i] > 3 || (qual && qual[i] < thr)) {
                 if (n_inv >= max_inv) return max_inv + 1;
-                invpos[n_inv++] = static_cast<int32_t>(i);
+                invpos[n_inv++] = i;
             }
         }
         packed2[full] = v;

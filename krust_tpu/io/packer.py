@@ -226,11 +226,16 @@ def invalid_positions(
     qual: np.ndarray | None = None,
     quality_threshold: int | None = None,
 ) -> np.ndarray:
-    """Positions of invalid (or quality-failing) bases in a flat stream."""
+    """Positions of invalid (or quality-failing) bases in a flat stream.
+
+    int64: streams can exceed 2^31 bases (a human genome at coverage is
+    several Gbases). Per-batch offsets are rebased to int32 in
+    :func:`flat_batches`, where segments are < 2^31 by construction.
+    """
     bad = codes >= INVALID_CODE
     if qual is not None and quality_threshold is not None:
         bad = bad | (qual < quality_threshold)
-    return np.flatnonzero(bad).astype(np.int32)
+    return np.flatnonzero(bad)
 
 
 def pack2_full(codes: np.ndarray) -> np.ndarray:
@@ -274,6 +279,10 @@ def flat_batches(
 
     w = block_windows
     assert w % 8 == 0, "block_windows must be a multiple of 8"
+    if w < k - 1 or batch_rows * w + k - 1 >= (1 << 31):
+        # halo wider than a block / segment offsets past int32: the dense
+        # blockize path handles both configurations correctly
+        return None
     n = codes.shape[0]
     max_inv = n // 32
     scanned = native.scan_stream_native(codes, qual, quality_threshold, max_inv)
@@ -313,7 +322,7 @@ def flat_batches(
                 seg = seg.copy()
             base0 = row0 * w
             i0, i1 = np.searchsorted(inv, [base0, base0 + seg_bases])
-            seg_inv = inv[i0:i1] - base0
+            seg_inv = (inv[i0:i1] - base0).astype(np.int32)  # < 2^31 by seg size
             p = _bucket_pow2(seg_inv.shape[0])
             if p != seg_inv.shape[0]:
                 seg_inv = np.concatenate(

@@ -14,10 +14,12 @@ Two properties matter for wall-clock on a slow host<->device link:
   by which point several more batches are queued on the device, so the sync
   overlaps useful work instead of stalling the feed pipeline.
 - **Slim finalize.** The distinct table leaves the device exactly once, in a
-  minimal-byte encoding: lo as uint32, counts as uint16 with host re-gather
-  of the rare >=0xFFFF saturations, and hi (zero for k<=16) reconstructed
-  from a tiny device-computed histogram when the hi-space is small
-  (k<=26). ~6 bytes/entry instead of 12.
+  minimal-byte encoding: lo as uint32, counts as uint8 saturating at 0xFF
+  (exact values for saturated entries re-gathered by the host — cheap while
+  high-count k-mers are a small fraction, with a full-width fallback when
+  they are not), and hi (zero for k<=16) reconstructed from a
+  device-computed histogram whenever that is smaller than raw hi bytes.
+  ~5.25 bytes/entry instead of 12.
 
 Count-width: parts carry uint32 counts. A single table epoch therefore must
 see < 2^31 windows; :class:`DeviceTable` tracks this and the engine flushes
@@ -177,9 +179,9 @@ class DeviceTable:
         """Compact and pull the distinct table to host: (codes u64, counts u64).
 
         Codes come back sorted ascending (merge compaction is key-ordered).
-        The pull is slim: uint32 lo + uint16 saturated counts (exact values
+        The pull is slim: uint32 lo + uint8 saturated counts (exact values
         for saturated entries re-gathered individually) + hi via histogram
-        for k<=26 / raw uint32 above.
+        or raw uint32, whichever is smaller.
         """
         self._compact()
         self._resolve()
@@ -193,10 +195,11 @@ class DeviceTable:
         k = self._k
         if k <= 16:
             hi_space, raw_hi = 0, False
-        elif k <= 26:
-            hi_space, raw_hi = 1 << (2 * k - 32), False
         else:
-            hi_space, raw_hi = 1 << (2 * k - 32), True
+            hi_space = 1 << (2 * k - 32)
+            # histogram costs 4*hi_space bytes, raw hi costs 4*cap: pick the
+            # smaller pull (both ints are static at trace time)
+            raw_hi = hi_space > cap
 
         buf = np.asarray(
             _pull_fused(t_hi, t_lo, t_cnt, jnp.int32(n), cap, hi_space, raw_hi)

@@ -48,7 +48,7 @@ from ..models.engines import (
 )
 from ..ops.codec import encode_blocks
 from ..ops.count import merge_runs
-from ..ops.table import EPOCH_WINDOW_LIMIT
+from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable, _round_pow2
 from ..utils.config import EngineConfig
 from ..utils.tracing import span
 from .mesh import DATA_AXIS, make_mesh
@@ -65,13 +65,6 @@ def _owner_of(hi: jax.Array, lo: jax.Array, n: int) -> jax.Array:
     h = h * _MIX1
     h = h ^ (h >> 13)
     return (h % jnp.uint32(n)).astype(jnp.int32)
-
-
-def _round_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
 
 
 @functools.partial(
@@ -213,6 +206,7 @@ class ShardedTable:
         self._k = k
         self._mesh = mesh
         self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
+        self._pending = 0  # per-chip pending entries
         self._table: tuple[jax.Array, jax.Array, jax.Array] | None = None
         self._table_entries = 0  # max over chips
         self._merge = None
@@ -222,8 +216,14 @@ class ShardedTable:
 
     def add(self, hi: jax.Array, lo: jax.Array, cnt: jax.Array, n_windows: int):
         self._parts.append((hi, lo, cnt))
+        self._pending += hi.shape[1]
         self.windows_this_epoch += n_windows
-        if len(self._parts) >= self._max_parts:
+        # same HBM bound as DeviceTable, per chip (each chip merges
+        # pending + table locally with ~3x sort temps)
+        if (
+            len(self._parts) >= self._max_parts
+            or self._pending >= DeviceTable.PENDING_ENTRY_LIMIT
+        ):
             self._compact()
 
     def _resolve(self) -> None:
@@ -251,6 +251,7 @@ class ShardedTable:
         self._merge = (m_hi, m_lo, m_cnt)
         self._merge_n = n_m
         self._parts = []
+        self._pending = 0
         self._table = None
         self._table_entries = 0
 

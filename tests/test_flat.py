@@ -105,10 +105,10 @@ def test_invalid_positions_with_quality():
     assert pos.tolist() == [1, 2]
 
 
-def test_count_saturation_uint16_exception_path():
-    """A count above 0xFFFF survives the uint16 slim pull exactly."""
+def test_count_saturation_uint8_exception_path():
+    """A count above 0xFF survives the uint8 slim pull exactly."""
     n = 70_000
-    codes = np.zeros(n, np.uint8)  # poly-A: one k-mer, count n-k+1 > 65535
+    codes = np.zeros(n, np.uint8)  # poly-A: one k-mer, count n-k+1 >> 255
     streams = ParsedStreams(codes, None, 1, n)
     cfg = EngineConfig(block_windows=256, batch_rows=32)
     res = BatchEngine(cfg).count(streams, 5)
@@ -142,3 +142,15 @@ def test_finalize_codes_sorted():
             streams, k
         )
         assert np.all(np.diff(res.codes.astype(np.uint64)) > 0)
+
+
+def test_flat_halo_wider_than_block_falls_back():
+    """block_windows < k-1 routes to the dense path (halo cannot fit)."""
+    rng = np.random.default_rng(29)
+    codes = _random_stream(rng, 500)
+    assert flat_batches(codes, None, 31, None, 24, 8) is None
+    streams = ParsedStreams(codes, None, 1, 500)
+    cfg = EngineConfig(block_windows=24, batch_rows=8)
+    res = BatchEngine(cfg).count(streams, 31)
+    oracle = NumpyEngine(cfg).count(streams, 31)
+    _counts_equal(res, oracle)

@@ -148,7 +148,32 @@ def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
 
     emit = is_end & sorted_valid
     n_unique = jnp.sum(emit, dtype=jnp.int32)
-    return _compact_emitted(emit, s_hi, s_lo, run_sum) + (n_unique,)
+
+    # compaction with the pad flag FOLDED INTO the key (k < 32 keys never
+    # reach the sentinel): one less sort operand than a separate pad key —
+    # this sort is the single most expensive op in the merge
+    if k <= 15:
+        c_lo, c_cnt = jax.lax.sort(
+            (
+                jnp.where(emit, s_lo, sentinel),
+                jnp.where(emit, run_sum, 0),
+            ),
+            num_keys=1,
+            is_stable=False,
+        )
+        u_lo = jnp.where(c_cnt > 0, c_lo, 0)  # scrub sentinel padding
+        return jnp.zeros_like(u_lo), u_lo, c_cnt, n_unique
+    c_hi, c_lo, c_cnt = jax.lax.sort(
+        (
+            jnp.where(emit, s_hi, sentinel),
+            jnp.where(emit, s_lo, 0),
+            jnp.where(emit, run_sum, 0),
+        ),
+        num_keys=2,
+        is_stable=False,
+    )
+    u_hi = jnp.where(c_cnt > 0, c_hi, 0)
+    return u_hi, c_lo, c_cnt, n_unique
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -9,11 +9,30 @@ from krust_tpu import count_with_input, Input
 from krust_tpu.utils.config import EngineConfig
 
 
+def _synthesize(path: str, mbases: int = 8) -> None:
+    """Write a synthetic multi-record FASTA of ~mbases Mbases."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(path, "wb") as f:
+        for i in range(mbases):
+            seq = bases[rng.integers(0, 4, size=1_000_000)].tobytes()
+            f.write(b">contig%d\n" % i + seq + b"\n")
+
+
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/simple.fa"
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    else:
+        path = "/tmp/krust_example_large.fa"
+        if not os.path.exists(path):
+            print("synthesizing an 8 Mbase FASTA at", path)
+            _synthesize(path)
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 21
 
-    # small batches: ~0.5M windows per device step
+    # small batches: ~0.5M windows per device step, so inputs far larger
+    # than device memory stream through in bounded slices
     cfg = EngineConfig(block_windows=4096, batch_rows=128)
     result = count_with_input(Input.from_path(path), k, config=cfg)
     print(f"{result.distinct} distinct {k}-mers, {result.total} total")

@@ -92,6 +92,38 @@ def _pull_fused(
     return jnp.concatenate([lo_b, cnt8, hi_b])
 
 
+#: delta-plane sentinel: a 24-bit delta of 0xFFFFFF means "exception —
+#: re-gather this entry's absolute code" (also used for deltas >= 2^24 - 1)
+_DELTA_EXC = 0xFFFFFF
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pull_delta(hi: jax.Array, lo: jax.Array, cnt: jax.Array, cap: int):
+    """Delta-coded pull: 3-byte code deltas + uint8 counts (4B/entry total).
+
+    The table's codes are sorted and unique, so consecutive 64-bit deltas
+    are small (mean = key-space / n). Each delta is emitted as 3 little-
+    endian bytes; deltas >= 2^24 - 1 (and entry 0, whose "delta" is the
+    absolute code) emit the exception sentinel and are re-gathered exactly
+    by the host. Works identically for every k — no hi plane at all.
+    """
+    hi_c = hi[:cap]
+    lo_c = lo[:cap]
+    p_hi = jnp.roll(hi_c, 1).at[0].set(0)
+    p_lo = jnp.roll(lo_c, 1).at[0].set(0)
+    d_lo = lo_c - p_lo  # wrapping u32
+    borrow = (lo_c < p_lo).astype(jnp.uint32)
+    d_hi = hi_c - p_hi - borrow
+    small = (d_hi == 0) & (d_lo < _DELTA_EXC)
+    d = jnp.where(small, d_lo, _DELTA_EXC).at[0].set(_DELTA_EXC)
+    b0 = (d & 0xFF).astype(jnp.uint8)
+    b1 = ((d >> 8) & 0xFF).astype(jnp.uint8)
+    b2 = ((d >> 16) & 0xFF).astype(jnp.uint8)
+    delta_b = jnp.stack([b0, b1, b2], axis=1).reshape(-1)
+    cnt8 = jnp.minimum(cnt[:cap], 0xFF).astype(jnp.uint8)
+    return jnp.concatenate([delta_b, cnt8])
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _gather_u32(arr: jax.Array, idx: jax.Array):
     return jnp.take(arr, idx, mode="clip")
@@ -192,6 +224,61 @@ class DeviceTable:
         t_hi, t_lo, t_cnt = self._table
         cap = _pull_size(n, t_hi.shape[0])
 
+        # dense tables: 3-byte code deltas (mean gap = key-space / n, so
+        # exceptions are vanishing when the space is < ~n * 2^22); sparse
+        # tables: plane pull with the hi histogram trick
+        if (1 << (2 * self._k)) < (max(n, 1) << 22):
+            codes, counts = self._finalize_delta(t_hi, t_lo, t_cnt, n, cap)
+        else:
+            codes, counts = self._finalize_planes(t_hi, t_lo, t_cnt, n, cap)
+        self._reset()
+        return codes, counts
+
+    def _resolve_saturated(self, t_cnt, cnt8, n) -> np.ndarray:
+        """uint8 count plane -> exact u64 counts (re-gather 0xFF saturations)."""
+        counts = cnt8.astype(np.uint64)
+        sat = np.flatnonzero(cnt8 == 0xFF)
+        if sat.shape[0] > max(n // 8, 64):
+            # saturation-heavy table (tiny k / extreme duplication): one
+            # full-width count pull beats per-entry gathers
+            cap = _pull_size(n, t_cnt.shape[0])
+            return np.asarray(t_cnt[:cap])[:n].astype(np.uint64)
+        if sat.shape[0]:
+            exact = self._gather(t_cnt, sat)
+            counts[sat] = exact
+        return counts
+
+    @staticmethod
+    def _gather(arr, idx: np.ndarray) -> np.ndarray:
+        p = _round_pow2(max(idx.shape[0], 8))
+        full = np.zeros(p, np.int32)
+        full[: idx.shape[0]] = idx
+        return np.asarray(_gather_u32(arr, jnp.asarray(full)))[: idx.shape[0]]
+
+    def _finalize_delta(self, t_hi, t_lo, t_cnt, n, cap):
+        buf = np.asarray(_pull_delta(t_hi, t_lo, t_cnt, cap))
+        db = buf[: 3 * cap].reshape(cap, 3)[:n].astype(np.uint32)
+        cnt8 = buf[3 * cap : 4 * cap][:n]
+        deltas = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16)
+
+        exc = np.flatnonzero(deltas == _DELTA_EXC)  # always includes entry 0
+        prelim = np.cumsum(
+            np.where(deltas == _DELTA_EXC, 0, deltas).astype(np.uint64)
+        )
+        abs_codes = (self._gather(t_hi, exc).astype(np.uint64) << np.uint64(32)) | (
+            self._gather(t_lo, exc).astype(np.uint64)
+        )
+        # each entry inherits the offset fixed by the last exception at or
+        # before it (entry 0 is an exception, so every entry is covered)
+        adj_at = np.zeros(n, np.uint64)
+        adj_at[exc] = abs_codes - prelim[exc]
+        is_exc = np.zeros(n, bool)
+        is_exc[exc] = True
+        last_exc = np.maximum.accumulate(np.where(is_exc, np.arange(n), 0))
+        codes = prelim + adj_at[last_exc]
+        return codes, self._resolve_saturated(t_cnt, cnt8, n)
+
+    def _finalize_planes(self, t_hi, t_lo, t_cnt, n, cap):
         k = self._k
         if k <= 16:
             hi_space, raw_hi = 0, False
@@ -208,18 +295,7 @@ class DeviceTable:
         cnt8 = buf[4 * cap : 5 * cap][:n]
         hi_plane = buf[5 * cap :]
 
-        counts = cnt8.astype(np.uint64)
-        sat = np.flatnonzero(cnt8 == 0xFF)
-        if sat.shape[0] > max(n // 8, 64):
-            # saturation-heavy table (tiny k / extreme duplication): one
-            # full-width count pull beats per-entry gathers
-            counts = np.asarray(t_cnt[:cap])[:n].astype(np.uint64)
-        elif sat.shape[0]:
-            p = _round_pow2(max(sat.shape[0], 8))
-            idx = np.zeros(p, np.int32)
-            idx[: sat.shape[0]] = sat
-            exact = np.asarray(_gather_u32(t_cnt, jnp.asarray(idx)))
-            counts[sat] = exact[: sat.shape[0]]
+        counts = self._resolve_saturated(t_cnt, cnt8, n)
 
         if hi_space == 0:
             codes = lo
@@ -230,7 +306,6 @@ class DeviceTable:
             hist = hi_plane.view(np.int32)
             hi = np.repeat(np.arange(hi_space, dtype=np.uint64), hist)
             codes = (hi << np.uint64(32)) | lo
-        self._reset()
         return codes, counts
 
     def _reset(self) -> None:

@@ -80,3 +80,24 @@ def test_table_with_small_k_sentinel_merge():
         for codes, counts in results:
             got = dict(zip(codes.tolist(), counts.tolist()))
             assert got == expected, k
+
+
+def test_table_delta_pull_exception_heavy():
+    """Delta pull with huge gaps: most entries are exceptions; still exact."""
+    rng = np.random.default_rng(3)
+    # k=13 -> space 4^13 = 67M and n*2^22 >> space, so the delta path runs,
+    # but mean gap ~1M >> 2^24 so most deltas overflow to exceptions
+    table = DeviceTable(k=13, max_parts=2)
+    expected = {}
+    for _ in range(3):
+        code = rng.integers(0, 1 << 26, size=64, dtype=np.uint64)
+        valid = rng.random(64) < 0.9
+        hi = (code >> np.uint64(32)).astype(np.uint32)
+        lo = code.astype(np.uint32)
+        table.add(hi, lo, valid.astype(np.uint32), 64)
+        for c, v in zip(code.tolist(), valid.tolist()):
+            if v:
+                expected[c] = expected.get(c, 0) + 1
+    codes, counts = table.finalize()
+    assert dict(zip(codes.tolist(), counts.tolist())) == expected
+    assert np.all(np.diff(codes.astype(np.int64)) > 0)

@@ -17,6 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..kmer import INVALID_CODE
+from ..utils.numutil import round_pow2
 
 #: Windows per block row. The last dim the device sees is W + k - 1; keep W a
 #: multiple of 256 so both it and typical padded widths align to TPU lanes.
@@ -214,13 +215,6 @@ class FlatBatch:
     n_invalid: int  # real entries in invpos
 
 
-def _bucket_pow2(n: int, lo: int = 8) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
-
-
 def invalid_positions(
     codes: np.ndarray,
     qual: np.ndarray | None = None,
@@ -251,7 +245,9 @@ def pack2_full(codes: np.ndarray) -> np.ndarray:
     if packed is not None:
         return packed
     n = codes.shape[0]
-    n4 = -(-max(n, 1) // 4) * 4
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    n4 = -(-n // 4) * 4
     b2 = codes & 3
     if n4 != n:
         b2 = np.concatenate([b2, np.zeros(n4 - n, np.uint8)])
@@ -278,10 +274,10 @@ def flat_batches(
     from . import native
 
     w = block_windows
-    assert w % 8 == 0, "block_windows must be a multiple of 8"
-    if w < k - 1 or batch_rows * w + k - 1 >= (1 << 31):
-        # halo wider than a block / segment offsets past int32: the dense
-        # blockize path handles both configurations correctly
+    if w % 8 or w < k - 1 or batch_rows * w + k - 1 >= (1 << 31):
+        # rows must start on byte boundaries (w % 8), the halo must fit one
+        # block, and segment offsets must fit int32 — otherwise the dense
+        # blockize path handles the configuration correctly
         return None
     n = codes.shape[0]
     max_inv = n // 32
@@ -305,7 +301,7 @@ def flat_batches(
             rows_padded = max(-(-rows // row_multiple) * row_multiple, row_multiple)
             # bucket rows to a power of two above the row multiple so at most
             # log2(batch_rows) step shapes are ever compiled
-            rows_padded = min(_bucket_pow2(rows_padded, row_multiple), batch_rows)
+            rows_padded = min(round_pow2(rows_padded, row_multiple), batch_rows)
             seg_bases = rows_padded * w + k - 1
             seg_bytes = -(-seg_bases // 4)
             b0 = (row0 * w) // 4
@@ -323,7 +319,7 @@ def flat_batches(
             base0 = row0 * w
             i0, i1 = np.searchsorted(inv, [base0, base0 + seg_bases])
             seg_inv = (inv[i0:i1] - base0).astype(np.int32)  # < 2^31 by seg size
-            p = _bucket_pow2(seg_inv.shape[0])
+            p = round_pow2(seg_inv.shape[0], 8)
             if p != seg_inv.shape[0]:
                 seg_inv = np.concatenate(
                     [

@@ -192,19 +192,6 @@ class NumpyEngine:
 # --- device batch engine ----------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k", "width", "use_pallas"))
-def _encode_count_packed_step(packed2, badbits, k, width, use_pallas=False):
-    """Bit-packed batch step: device unpack -> rolling codec -> run counts."""
-    from ..ops.codec import encode_blocks, unpack_2bit
-    from ..ops.count import count_runs
-    from ..ops.pallas_codec import encode_blocks_pallas
-
-    codes = unpack_2bit(packed2, badbits, width)
-    enc = encode_blocks_pallas if use_pallas else encode_blocks
-    hi, lo, valid = enc(codes, k, None, None)
-    return count_runs(hi, lo, valid, k)
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "rows", "block_windows", "use_pallas")
 )

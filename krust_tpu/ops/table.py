@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .count import merge_runs
+from ..utils.numutil import round_pow2 as _round_pow2, round_up as _round_up
 
 #: windows per epoch bound, with headroom below 2^32 (counts are uint32)
 EPOCH_WINDOW_LIMIT = 1 << 31
@@ -43,17 +44,6 @@ EPOCH_WINDOW_LIMIT = 1 << 31
 #: finalize pull granularity: slices round up to this, bounding both the
 #: over-pull (<1.6MB) and the number of distinct pull shapes compiled
 _PULL_QUANTUM = 1 << 18
-
-
-def _round_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-
-def _round_up(n: int, m: int) -> int:
-    return -(-n // m) * m
 
 
 def _pull_size(n: int, limit: int) -> int:
@@ -130,11 +120,20 @@ def _gather_u32(arr: jax.Array, idx: jax.Array):
 
 
 class DeviceTable:
-    """Accumulates (hi, lo, count) uniques on device across batches."""
+    """Accumulates (hi, lo, count) uniques on device across batches.
+
+    The single-device LSM accumulator. :class:`~krust_tpu.parallel.sharded.
+    ShardedTable` reuses the identical add/resolve/compact state machine by
+    overriding the ``AXIS`` / ``_do_merge`` / ``_read_n`` hooks (its arrays
+    carry a leading per-chip axis and merge inside shard_map).
+    """
 
     #: max entries across pending parts before a forced merge — bounds the
     #: merge input (plus temps, XLA sort uses ~3x) well inside v5e's 16GB HBM
     PENDING_ENTRY_LIMIT = 280_000_000
+
+    #: entry axis of part arrays (ShardedTable: 1, behind the chip axis)
+    AXIS = 0
 
     def __init__(self, k: int = 32, max_parts: int = 8):
         self._k = k  # enables sentinel-key merges (fewer sort operands)
@@ -149,10 +148,24 @@ class DeviceTable:
         self._max_parts = max_parts
         self.windows_this_epoch = 0
 
+    # --- hooks ------------------------------------------------------------
+
+    def _prepare_part(self, hi, lo, cnt):
+        return hi.reshape(-1), lo.reshape(-1), cnt.reshape(-1)
+
+    def _do_merge(self, hi, lo, cnt):
+        return merge_runs(hi, lo, cnt, self._k)
+
+    def _read_n(self, n_dev) -> int:
+        return int(n_dev)
+
+    # --- LSM state machine (shared with ShardedTable) ---------------------
+
     def add(self, u_hi: jax.Array, u_lo: jax.Array, u_cnt: jax.Array, n_windows: int):
-        """Append one batch's run-length results (zero-count tail = padding)."""
-        self._parts.append((u_hi.reshape(-1), u_lo.reshape(-1), u_cnt.reshape(-1)))
-        self._pending += u_hi.size
+        """Append one batch's (hi, lo, weight) entries (zero weight = padding)."""
+        part = self._prepare_part(u_hi, u_lo, u_cnt)
+        self._parts.append(part)
+        self._pending += part[0].shape[self.AXIS]
         self.windows_this_epoch += n_windows
         # batch up parts before merging: each window is sorted exactly once
         # regardless, so fewer merges = less per-merge overhead and fewer
@@ -164,14 +177,17 @@ class DeviceTable:
         ):
             self._compact()
 
+    def _slice_keep(self, arrays, keep: int):
+        idx = (slice(None),) * self.AXIS + (slice(0, keep),)
+        return tuple(a[idx] for a in arrays)
+
     def _resolve(self) -> None:
         """Turn the in-flight merge into a sliced table (one scalar sync)."""
         if self._merge is None:
             return
-        n = int(self._merge_n)
-        m_hi, m_lo, m_cnt = self._merge
-        keep = min(_round_pow2(max(n, 1)), m_hi.shape[0])
-        self._table = (m_hi[:keep], m_lo[:keep], m_cnt[:keep])
+        n = self._read_n(self._merge_n)
+        keep = min(_round_pow2(max(n, 1)), self._merge[0].shape[self.AXIS])
+        self._table = self._slice_keep(self._merge, keep)
         self._table_entries = n
         self._merge = None
         self._merge_n = None
@@ -180,26 +196,31 @@ class DeviceTable:
         arrays = list(self._parts)
         if self._table is not None:
             arrays.append(self._table)
-        hi = jnp.concatenate([a[0] for a in arrays])
-        lo = jnp.concatenate([a[1] for a in arrays])
-        cnt = jnp.concatenate([a[2] for a in arrays])
+        out = [
+            jnp.concatenate([a[i] for a in arrays], axis=self.AXIS)
+            for i in range(3)
+        ]
         # pad to a 4M-entry bucket: bounds jit recompiles without the up-to-2x
         # work a power-of-two bucket would add to the big final merge
-        n = hi.shape[0]
+        n = out[0].shape[self.AXIS]
         target = _round_up(n, 1 << 22) if n > (1 << 22) else _round_pow2(n)
         if target != n:
-            pad = target - n
-            hi = jnp.concatenate([hi, jnp.zeros(pad, jnp.uint32)])
-            lo = jnp.concatenate([lo, jnp.zeros(pad, jnp.uint32)])
-            cnt = jnp.concatenate([cnt, jnp.zeros(pad, jnp.uint32)])
-        return hi, lo, cnt
+            shape = list(out[0].shape)
+            shape[self.AXIS] = target - n
+            out = [
+                jnp.concatenate(
+                    [a, jnp.zeros(shape, jnp.uint32)], axis=self.AXIS
+                )
+                for a in out
+            ]
+        return out
 
     def _compact(self):
         self._resolve()  # syncs the previous merge; overlaps queued batches
         if not self._parts:
             return
         hi, lo, cnt = self._concat()
-        m_hi, m_lo, m_cnt, n_m = merge_runs(hi, lo, cnt, self._k)
+        m_hi, m_lo, m_cnt, n_m = self._do_merge(hi, lo, cnt)
         self._merge = (m_hi, m_lo, m_cnt)
         self._merge_n = n_m
         self._parts = []

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..io.packer import pack_buffer
+from ..io.packer import flat_batches, pack_buffer
 from ..io.reader import ParsedStreams
 from ..kmer import INVALID_CODE
 from ..models.engines import (
@@ -48,8 +48,9 @@ from ..models.engines import (
 )
 from ..ops.codec import encode_blocks
 from ..ops.count import merge_runs
-from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable, _round_pow2
+from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
 from ..utils.config import EngineConfig
+from ..utils.numutil import round_pow2
 from ..utils.tracing import span
 from .mesh import DATA_AXIS, make_mesh
 
@@ -97,6 +98,42 @@ def _encode_sharded(codes, qual, k, quality_threshold, mesh):
         local_fn, mesh=mesh, in_specs=(row_spec, row_spec), out_specs=out_spec,
         check_vma=False,
     )(codes, qual)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "rows", "block_windows", "mesh")
+)
+def _encode_flat_sharded(packed2, invpos, covered, k, rows, block_windows, mesh):
+    """Flat minimal-byte sharded step: per-chip 2-bit slices -> raw windows.
+
+    The sharded twin of engines._count_flat_step: each chip receives its own
+    contiguous 2-bit stream slice (0.25 B/base) plus sparse invalid
+    positions, unpacks/blockizes on device, runs the codec, and masks
+    windows at local index >= its ``covered`` scalar.
+    """
+    from ..ops.codec import unpack_flat_blocks
+
+    w = block_windows
+
+    def local_fn(p_l, iv_l, cov_l):
+        blocks = unpack_flat_blocks(p_l[0], iv_l[0], k, rows, w)
+        hi, lo, valid = encode_blocks(blocks, k, None, None)
+        idx = jnp.arange(rows * w, dtype=jnp.int32).reshape(rows, w)
+        valid = valid & (idx < cov_l[0])
+        return (
+            hi.reshape(1, -1),
+            lo.reshape(1, -1),
+            valid.astype(jnp.uint32).reshape(1, -1),
+        )
+
+    spec = P(DATA_AXIS, None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, P(DATA_AXIS)),
+        out_specs=(spec,) * 3,
+        check_vma=False,
+    )(packed2, invpos, covered)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
@@ -192,68 +229,32 @@ class CapacityOverflow(RuntimeError):
     """Hash-shard destination capacity exceeded; retry with a larger factor."""
 
 
-class ShardedTable:
+class ShardedTable(DeviceTable):
     """Per-chip device-resident LSM count tables (the sharded DeviceTable).
 
-    Accumulates raw sharded (hi, lo, weight) parts; merges each chip's
-    partials locally every ``max_parts`` batches with the same deferred-sync
-    discipline as ops/table.DeviceTable (merge outputs retained full-length,
-    the [n_dev] n_unique vector read back one compaction later). No
-    collectives until :meth:`exchange`.
+    Reuses DeviceTable's deferred-sync add/resolve/compact state machine
+    verbatim; parts carry a leading chip axis ([n_dev, L] arrays), the merge
+    runs per chip inside shard_map, and the resolve sync reads the max of
+    the [n_dev] n_unique vector. No collectives until :meth:`exchange`.
     """
 
+    AXIS = 1  # entries sit behind the chip axis
+
     def __init__(self, k: int, mesh: Mesh, max_parts: int = 8):
-        self._k = k
+        super().__init__(k, max_parts)
         self._mesh = mesh
-        self._parts: list[tuple[jax.Array, jax.Array, jax.Array]] = []
-        self._pending = 0  # per-chip pending entries
-        self._table: tuple[jax.Array, jax.Array, jax.Array] | None = None
-        self._table_entries = 0  # max over chips
-        self._merge = None
-        self._merge_n = None
-        self._max_parts = max_parts
-        self.windows_this_epoch = 0
 
-    def add(self, hi: jax.Array, lo: jax.Array, cnt: jax.Array, n_windows: int):
-        self._parts.append((hi, lo, cnt))
-        self._pending += hi.shape[1]
-        self.windows_this_epoch += n_windows
-        # same HBM bound as DeviceTable, per chip (each chip merges
-        # pending + table locally with ~3x sort temps)
-        if (
-            len(self._parts) >= self._max_parts
-            or self._pending >= DeviceTable.PENDING_ENTRY_LIMIT
-        ):
-            self._compact()
+    def _prepare_part(self, hi, lo, cnt):
+        return hi, lo, cnt  # already [n_dev, L]
 
-    def _resolve(self) -> None:
-        if self._merge is None:
-            return
-        n = int(np.asarray(self._merge_n).max())
-        m_hi, m_lo, m_cnt = self._merge
-        keep = min(_round_pow2(max(n, 1)), m_hi.shape[1])
-        self._table = (m_hi[:, :keep], m_lo[:, :keep], m_cnt[:, :keep])
-        self._table_entries = n
-        self._merge = None
-        self._merge_n = None
+    def _do_merge(self, hi, lo, cnt):
+        return _merge_sharded(hi, lo, cnt, self._k, self._mesh)
 
-    def _compact(self):
-        self._resolve()
-        if not self._parts:
-            return
-        arrays = list(self._parts)
-        if self._table is not None:
-            arrays.append(self._table)
-        hi = jnp.concatenate([a[0] for a in arrays], axis=1)
-        lo = jnp.concatenate([a[1] for a in arrays], axis=1)
-        cnt = jnp.concatenate([a[2] for a in arrays], axis=1)
-        m_hi, m_lo, m_cnt, n_m = _merge_sharded(hi, lo, cnt, self._k, self._mesh)
-        self._merge = (m_hi, m_lo, m_cnt)
-        self._merge_n = n_m
-        self._parts = []
-        self._pending = 0
-        self._table = None
-        self._table_entries = 0
+    def _read_n(self, n_dev) -> int:
+        return int(np.asarray(n_dev).max())
+
+    def finalize(self):  # pragma: no cover - guard against misuse
+        raise NotImplementedError("use exchange() + host gather for sharded tables")
 
     def exchange(self, capacity_factor: int = 4):
         """All-to-all the per-chip tables into disjoint hash-range shards.
@@ -326,34 +327,98 @@ def count_sharded(
                     (m_hi[d, :nd] << np.uint64(32)) | m_lo[d, :nd], m_cnt[d, :nd]
                 )
 
-    batches = pack_buffer(
-        streams.codes,
-        qual_stream,
-        k,
-        cfg.block_windows,
-        cfg.batch_rows,
+    # per-chip rows per super-batch: largest power of two keeping the total
+    # around cfg.batch_rows
+    r_chip = 8
+    while r_chip * 2 <= max(cfg.batch_rows // n_dev, 8):
+        r_chip *= 2
+
+    flat = (
+        flat_batches(
+            streams.codes, qual_stream, k, thr, cfg.block_windows, r_chip
+        )
+        if cfg.use_flat
+        else None
     )
-    for batch in batches:
-        codes, qual = batch.codes, batch.qual
-        rows = codes.shape[0]
-        if rows % n_dev:
-            pad = n_dev - rows % n_dev
-            codes = np.vstack(
-                [codes, np.full((pad, codes.shape[1]), INVALID_CODE, np.uint8)]
-            )
-            if qual is not None:
-                qual = np.vstack([qual, np.full((pad, qual.shape[1]), 0xFF, np.uint8)])
+    if flat is not None:
+        w = cfg.block_windows
+        for p2, iv, cov, batch_windows in _flat_groups(
+            flat, n_dev, r_chip, w, k
+        ):
+            if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+                flush_epoch()  # uint32 count headroom exhausted
+            p2_d = jax.device_put(p2, sharding)
+            iv_d = jax.device_put(iv, sharding)
+            cov_d = jax.device_put(cov, NamedSharding(mesh, P(DATA_AXIS)))
+            with span("sharded_encode", rows=n_dev * r_chip, devices=n_dev):
+                hi, lo, cnt = _encode_flat_sharded(
+                    p2_d, iv_d, cov_d, k, r_chip, w, mesh
+                )
+            table.add(hi, lo, cnt, batch_windows)
+    else:  # dense fallback: dirty input or flat-ineligible config
+        batches = pack_buffer(
+            streams.codes,
+            qual_stream,
+            k,
+            cfg.block_windows,
+            cfg.batch_rows,
+        )
+        for batch in batches:
+            codes, qual = batch.codes, batch.qual
+            rows = codes.shape[0]
+            if rows % n_dev:
+                pad = n_dev - rows % n_dev
+                codes = np.vstack(
+                    [codes, np.full((pad, codes.shape[1]), INVALID_CODE, np.uint8)]
+                )
+                if qual is not None:
+                    qual = np.vstack(
+                        [qual, np.full((pad, qual.shape[1]), 0xFF, np.uint8)]
+                    )
 
-        batch_windows = codes.shape[0] * batch.block_windows
-        if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
-            flush_epoch()  # uint32 count headroom exhausted
+            batch_windows = codes.shape[0] * batch.block_windows
+            if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
+                flush_epoch()
 
-        codes_d = jax.device_put(codes, sharding)
-        qual_d = jax.device_put(qual, sharding) if qual is not None else None
-        with span("sharded_encode", rows=codes.shape[0], devices=n_dev):
-            hi, lo, cnt = _encode_sharded(codes_d, qual_d, k, thr, mesh)
-        table.add(hi, lo, cnt, batch_windows)
+            codes_d = jax.device_put(codes, sharding)
+            qual_d = jax.device_put(qual, sharding) if qual is not None else None
+            with span("sharded_encode", rows=codes.shape[0], devices=n_dev):
+                hi, lo, cnt = _encode_sharded(codes_d, qual_d, k, thr, mesh)
+            table.add(hi, lo, cnt, batch_windows)
 
     flush_epoch()
     codes64, counts64 = acc.result()
     return PackedCounts(k, codes64, counts64)
+
+
+def _flat_groups(flat_iter, n_dev: int, rows: int, w: int, k: int):
+    """Group per-chip FlatBatches into stacked sharded super-batches.
+
+    Each yield is (packed2 [n_dev, B], invpos [n_dev, P], covered [n_dev],
+    window_count): chip d's row holds its contiguous 2-bit stream slice.
+    Missing chips in the final group get zero-covered dummy rows, and every
+    member pads to the common full-rows segment size (padding bases decode
+    as 'A' but only reach windows masked by ``covered``).
+    """
+    seg_bases = rows * w + k - 1
+    seg_bytes = -(-seg_bases // 4)
+
+    def emit(group):
+        p_cap = round_pow2(max(max(g.invpos.shape[0] for g in group), 8))
+        p2 = np.zeros((n_dev, seg_bytes), np.uint8)
+        iv = np.full((n_dev, p_cap), seg_bases, np.int32)  # sentinel: masked
+        cov = np.zeros(n_dev, np.int32)
+        for d, g in enumerate(group):
+            p2[d, : g.packed2.shape[0]] = g.packed2
+            iv[d, : g.invpos.shape[0]] = g.invpos
+            cov[d] = g.covered
+        return p2, iv, cov, n_dev * rows * w
+
+    group = []
+    for fb in flat_iter:
+        group.append(fb)
+        if len(group) == n_dev:
+            yield emit(group)
+            group = []
+    if group:
+        yield emit(group)

@@ -181,8 +181,9 @@ def test_count_runs_matches_count_unique(k):
 def test_packed_2bit_path_matches(k):
     """Bit-packed transfer path must equal the raw-code path exactly."""
     from krust_tpu.io.packer import pack_buffer_2bit
-    from krust_tpu.models.engines import _encode_count_packed_step
+    from krust_tpu.models.engines import _dense_raw_step
     from krust_tpu.ops.codec import combine64
+    from krust_tpu.ops.count import count_runs
 
     rng = random.Random(900 + k)
     seqs = [oracle.random_dna(rng, rng.randint(0, 200), "ACGTacgtNn") for _ in range(10)]
@@ -190,9 +191,8 @@ def test_packed_2bit_path_matches(k):
     streams = streams_from_sequences(seqs)
     got = {}
     for batch in pack_buffer_2bit(streams.codes, None, k, None, block_windows=128):
-        s_hi, s_lo, cnt = _encode_count_packed_step(
-            batch.packed2, batch.badbits, k, batch.width
-        )
+        hi, lo, w = _dense_raw_step(batch.packed2, batch.badbits, k, batch.width)
+        s_hi, s_lo, cnt = count_runs(hi, lo, w > 0, k)
         s_hi, s_lo, cnt = np.asarray(s_hi), np.asarray(s_lo), np.asarray(cnt)
         live = cnt > 0
         codes64 = combine64(s_hi[live], s_lo[live])
@@ -205,8 +205,9 @@ def test_packed_2bit_path_matches(k):
 
 def test_packed_2bit_quality():
     from krust_tpu.io.packer import pack_buffer_2bit
-    from krust_tpu.models.engines import _encode_count_packed_step
+    from krust_tpu.models.engines import _dense_raw_step
     from krust_tpu.ops.codec import combine64
+    from krust_tpu.ops.count import count_runs
     from krust_tpu.kmer import unpack_many
 
     rng = random.Random(33)
@@ -225,9 +226,8 @@ def test_packed_2bit_quality():
     for batch in pack_buffer_2bit(
         streams.codes, streams.qual, k, min_q + 33, block_windows=64
     ):
-        s_hi, s_lo, cnt = _encode_count_packed_step(
-            batch.packed2, batch.badbits, k, batch.width
-        )
+        hi, lo, w = _dense_raw_step(batch.packed2, batch.badbits, k, batch.width)
+        s_hi, s_lo, cnt = count_runs(hi, lo, w > 0, k)
         s_hi, s_lo, cnt = np.asarray(s_hi), np.asarray(s_lo), np.asarray(cnt)
         live = cnt > 0
         codes64 = combine64(s_hi[live], s_lo[live])

@@ -88,11 +88,11 @@ def main() -> None:
     # compilation cache, so subsequent bench runs skip this cost too.
     engine.count(streams, K)
 
-    # best of 2 timed passes: the tunneled link's throughput varies ~2x
-    # run-to-run; the faster pass better reflects the pipeline (criterion
+    # best of 3 timed passes: the tunneled link's throughput varies ~2x
+    # run-to-run; the fastest pass best reflects the pipeline (criterion
     # likewise reports distribution minima for throughput benches)
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         result = engine.count(streams, K)
         times.append(time.perf_counter() - t0)

@@ -35,6 +35,16 @@ from .utils.tracing import span
 ProgressCallback = Callable[[Progress], None]
 
 
+def _read_streams(path, k: int, fmt: SequenceFormat):
+    """Shared preamble: validate k, resolve format, read + parse."""
+    kk = KmerLength(k).get()
+    resolved = fmt.resolve(path)
+    with span("read_sequences", path=str(path), format=str(resolved)):
+        data = read_input_bytes(path)
+        streams = parse_to_streams(data, resolved)
+    return kk, streams
+
+
 def _count_path(
     path: str | os.PathLike | None,
     k: int,
@@ -44,11 +54,7 @@ def _count_path(
     progress: ProgressCallback | None = None,
 ) -> PackedCounts:
     """Shared pipeline: read -> parse -> pack -> device count."""
-    kk = KmerLength(k).get()
-    resolved = fmt.resolve(path)
-    with span("read_sequences", path=str(path), format=str(resolved)):
-        data = read_input_bytes(path)
-        streams = parse_to_streams(data, resolved)
+    kk, streams = _read_streams(path, k, fmt)
     tracker = ProgressTracker() if progress is not None else None
     return count_streams(streams, kk, min_quality, config, progress, tracker)
 
@@ -87,19 +93,21 @@ def count_kmers_with_progress(
     return _count_path(path, k, progress=callback).to_string_dict()
 
 
-def count_kmers_mmap(path: str | os.PathLike, k: int) -> dict[str, int]:
+def count_kmers_mmap(
+    path: str | os.PathLike, k: int, config: EngineConfig | None = None
+) -> dict[str, int]:
     """Count from a memory-mapped FASTA file (reference: src/run.rs:691-756).
 
     The file bytes are mapped read-only instead of read eagerly; parsing
-    consumes the map without an intermediate copy of the raw file.
+    consumes the map directly (page-cache-backed, no heap copy of the file).
     """
     resolved = SequenceFormat.AUTO.resolve(path)
     with open(path, "rb") as f:
         if os.fstat(f.fileno()).st_size == 0:
             return {}
         with _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
-            streams = parse_to_streams(bytes(mm), resolved)
-    return count_streams(streams, KmerLength(k).get()).to_string_dict()
+            streams = parse_to_streams(mm, resolved)
+    return count_streams(streams, KmerLength(k).get(), config=config).to_string_dict()
 
 
 def count_kmers_sniffed(path: str | os.PathLike, k: int) -> dict[str, int]:
@@ -147,11 +155,7 @@ def count_kmers_sharded_result(
     """Packed-result variant of :func:`count_kmers_sharded`."""
     from .parallel.sharded import count_sharded
 
-    kk = KmerLength(k).get()
-    resolved = fmt.resolve(path)
-    with span("read_sequences", path=str(path), format=str(resolved)):
-        data = read_input_bytes(path)
-        streams = parse_to_streams(data, resolved)
+    kk, streams = _read_streams(path, k, fmt)
     return count_sharded(streams, kk, min_quality, mesh, config)
 
 
@@ -279,10 +283,11 @@ def run_with_quality(
     input_format: SequenceFormat,
     min_quality: int | None,
     out: TextIO | None = None,
+    config: EngineConfig | None = None,
 ) -> None:
     """Full-option run (reference: src/run.rs:185-200). Stdin does not support
     quality filtering (reference: src/run.rs:193-198)."""
-    counts = count_with_input(input_, k, input_format, min_quality)
+    counts = count_with_input(input_, k, input_format, min_quality, config)
     output_counts(counts.to_string_dict(), fmt, min_count, out)
 
 

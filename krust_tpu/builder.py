@@ -113,18 +113,15 @@ class KmerCounter:
         """Count k-mers, applying min-count filtering
         (reference: src/builder.rs:232-262)."""
         k = self._require_k()
-        counts = api.count_kmers_with_quality(
-            path, k, self._input_format, self._min_quality
-        )
+        counts = api._count_path(
+            path, k, self._input_format, self._min_quality, self._config
+        ).to_string_dict()
         return self._filtered(counts)
 
     def count_packed(self, path: str | os.PathLike) -> dict[int, int]:
         k = self._require_k()
         result = api._count_path(path, k, self._input_format, self._min_quality, self._config)
-        packed = result.to_packed_dict()
-        if self._min_count <= 1:
-            return packed
-        return {km: c for km, c in packed.items() if c >= self._min_count}
+        return self._filtered(result.to_packed_dict())
 
     def count_streaming(self, path: str | os.PathLike) -> dict[str, int]:
         """Batched count path (reference: src/builder.rs count_streaming)."""
@@ -149,7 +146,7 @@ class KmerCounter:
     def count_mmap(self, path: str | os.PathLike) -> dict[str, int]:
         """Memory-mapped count (reference: src/builder.rs count_mmap)."""
         k = self._require_k()
-        return self._filtered(api.count_kmers_mmap(path, k))
+        return self._filtered(api.count_kmers_mmap(path, k, self._config))
 
     def count_with_progress(
         self, path: str | os.PathLike, callback: Callable[[Progress], None]
@@ -169,9 +166,9 @@ class KmerCounter:
         """Count and print in the configured format
         (reference: src/builder.rs run)."""
         k = self._require_k()
-        counts = api.count_kmers_with_quality(
-            path, k, self._input_format, self._min_quality
-        )
+        counts = api._count_path(
+            path, k, self._input_format, self._min_quality, self._config
+        ).to_string_dict()
         output_counts(counts, self._format, self._min_count, out)
 
     def count_to_writer(self, path: str | os.PathLike, out: TextIO) -> None:
@@ -184,4 +181,5 @@ class KmerCounter:
         api.run_with_quality(
             input_, k, self._format, self._min_count,
             self._input_format, self._min_quality, out,
+            config=self._config,
         )

@@ -146,13 +146,13 @@ def run_count(args: argparse.Namespace) -> None:
             print(f"{_style('save-index', _BOLD)}: {_style(args.save, _BLUE, _BOLD)}", file=banner)
         print(file=banner)
 
-    if args.min_quality is not None and resolved.is_fasta:
+    if args.min_quality is not None and resolved.is_fasta and not args.quiet:
         print(
             f"{_style('warning', _YELLOW, _BOLD)}: "
             f"{_style('--min-quality is ignored for FASTA input', _YELLOW)}",
             file=sys.stderr,
         )
-    if args.min_quality is not None and input_.is_stdin:
+    if args.min_quality is not None and input_.is_stdin and not args.quiet:
         print(
             f"{_style('warning', _YELLOW, _BOLD)}: "
             f"{_style('--min-quality is not yet supported for stdin input', _YELLOW)}",

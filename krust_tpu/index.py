@@ -150,6 +150,7 @@ def load_index(path: str | os.PathLike) -> KmerIndex:
         else:
             with open(path, "rb") as f:
                 data = f.read()
-    except OSError as e:
+    except (OSError, EOFError) as e:
+        # EOFError: truncated gzip stream (not an OSError subclass)
         raise IndexReadError(f"failed to read index {path}: {e}") from e
     return deserialize_index(data, str(path))

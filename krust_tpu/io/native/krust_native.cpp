@@ -106,9 +106,13 @@ int32_t krust_parse_fastq(const uint8_t* data, int64_t len, uint8_t* out_codes,
     int64_t i = 0;
     int64_t seq_len_this_record = 0;
 
-    // trailing newline runs are line terminators + empty lines; drop them
-    // (matches the Python parser's trailing-empty-line stripping)
-    while (len > 0 && (data[len - 1] == '\n' || data[len - 1] == '\r')) --len;
+    // strip exactly ONE final line terminator (\n or \r\n); stray extra
+    // blank lines stay and fail the %4 check (rust-bio strictness), while a
+    // legitimate empty final quality line survives (matches io/reader.py)
+    if (len > 0 && data[len - 1] == '\n') {
+        --len;
+        if (len > 0 && data[len - 1] == '\r') --len;
+    }
 
     while (i < len) {
         // find line end (excluding trailing \r)

@@ -77,7 +77,8 @@ def read_input_bytes(path: str | os.PathLike | None) -> bytes:
             return f.read()
     except FileNotFoundError:
         raise
-    except OSError as e:
+    except (OSError, EOFError) as e:
+        # EOFError: truncated gzip stream (not an OSError subclass)
         raise ReadError(str(e), str(path)) from e
 
 
@@ -106,8 +107,8 @@ def _line_table(arr: np.ndarray):
     # strip \r at line end
     has_cr = (ends > starts) & (arr[np.maximum(ends - 1, 0)] == _CR)
     ends = ends - has_cr.astype(np.int64)
-    # drop trailing empty line
-    while starts.shape[0] > 0 and starts[-1] >= ends[-1]:
+    # drop the single trailing empty line produced by a final newline
+    if starts.shape[0] > 0 and starts[-1] >= ends[-1]:
         starts, ends = starts[:-1], ends[:-1]
     if starts.shape[0] == 0:
         return starts, ends, np.zeros(0, dtype=np.uint8)

@@ -43,7 +43,11 @@ def output_counts(
     (reference: src/run.rs:447-450).
     """
     out = out if out is not None else sys.stdout
-    filtered = {kmer: c for kmer, c in counts.items() if c >= min_count}
+    filtered = (
+        counts
+        if min_count <= 1
+        else {kmer: c for kmer, c in counts.items() if c >= min_count}
+    )
 
     if fmt is OutputFormat.FASTA:
         chunks = [f">{c}\n{kmer}\n" for kmer, c in filtered.items()]

@@ -1,0 +1,58 @@
+"""Merge-path Pallas kernel: correctness in interpret mode (CPU mesh).
+
+The TPU-compiled path is exercised on real hardware by bench/engine runs;
+here the same kernel logic runs through the Pallas interpreter.
+"""
+
+import numpy as np
+import pytest
+
+from krust_tpu.ops.pallas_merge import CH, SENT, merge_sorted
+
+
+def _merge(a, b):
+    import jax.numpy as jnp
+
+    return np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b), interpret=True))
+
+
+@pytest.mark.parametrize("m", [CH, 2 * CH, 3 * CH + 64, 10_000])
+def test_random_merge(m):
+    rng = np.random.default_rng(m)
+    a = np.sort(rng.integers(0, 1 << 32, m, np.int64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 1 << 32, m, np.int64).astype(np.uint32))
+    got = _merge(a, b)
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+def test_skewed_merge():
+    """All of a sorts before b (maximal split skew: chunks all-a then all-b)."""
+    m = 4 * CH
+    a = np.arange(m, dtype=np.uint32)
+    b = np.arange(m, dtype=np.uint32) + np.uint32(1 << 20)
+    got = _merge(a, b)
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+    got = _merge(b, a)
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+def test_interleaved_and_duplicates():
+    m = 2 * CH
+    rng = np.random.default_rng(7)
+    a = np.sort(rng.integers(0, 50, m, np.int64).astype(np.uint32))
+    b = np.sort(rng.integers(0, 50, m, np.int64).astype(np.uint32))
+    got = _merge(a, b)
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+def test_sentinel_padding_tail():
+    """SENT-padded tails merge to the back like +inf."""
+    m = CH
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.integers(0, 1 << 30, m, np.int64).astype(np.uint32))
+    b = np.full(m, SENT, np.uint32)
+    b[: m // 2] = np.sort(rng.integers(0, 1 << 30, m // 2, np.int64)).astype(
+        np.uint32
+    )
+    got = _merge(a, b)
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))

@@ -61,10 +61,12 @@ def _diagonal_splits(a, b, m, n_chunks):
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
-        bj = jnp.where(d - mid - 1 >= 0, b[jnp.clip(d - mid - 1, 0, m - 1)], 0)
-        bj = jnp.where(d - mid - 1 < m, bj, jnp.uint32(SENT))
+        bi = d - mid - 1
+        bj = jnp.where(bi >= 0, b[jnp.clip(bi, 0, m - 1)], 0)
+        bj = jnp.where(bi < m, bj, jnp.uint32(SENT))
         am = jnp.where(mid < m, a[jnp.clip(mid, 0, m - 1)], jnp.uint32(SENT))
-        go_low = am > bj
+        # a value of 0 ties with the bi < 0 "-inf"; the sentinel must lose
+        go_low = jnp.where(bi < 0, True, am > bj)
         return jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
@@ -122,6 +124,52 @@ def _oddeven_merge_2d(x):
     return x
 
 
+def _oddeven_merge_multi(ops, n_keys):
+    """Odd-even merge of operand tuple ``ops`` ([R, L] each, two sorted
+    halves), ordered lexicographically by the first ``n_keys`` operands.
+
+    All key operands must be int32 in an order-preserving encoding (unsigned
+    values XOR-biased by the caller). Non-key operands are payload. The last
+    key operand should make entries totally ordered (e.g. a position iota)
+    so chunk boundaries cut ties deterministically.
+    """
+    n = R * L
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    flat = row_id * L + lane_id
+
+    def lt(u, v):  # u < v lexicographically on key operands
+        r = None
+        eq = None
+        for i in range(n_keys):
+            li = u[i] < v[i]
+            if r is None:
+                r, eq = li, u[i] == v[i]
+            else:
+                r = r | (eq & li)
+                eq = eq & (u[i] == v[i])
+        return r
+
+    s = n // 2
+    while s >= 1:
+        if s == n // 2:
+            is_low = flat < s
+            is_high = flat >= s
+        else:
+            is_low = ((flat % (2 * s)) >= s) & (flat + s < n)
+            is_high = (((flat - s) % (2 * s)) >= s) & (flat - s >= 0)
+        fwd = tuple(_flat_roll(o, -s) for o in ops)  # value at i + s
+        bwd = tuple(_flat_roll(o, s) for o in ops)  # value at i - s
+        take_fwd = is_low & lt(fwd, ops)  # low slot: partner is smaller
+        take_bwd = is_high & lt(ops, bwd)  # high slot: partner is larger
+        ops = tuple(
+            jnp.where(take_fwd, f, jnp.where(take_bwd, b, o))
+            for o, f, b in zip(ops, fwd, bwd)
+        )
+        s //= 2
+    return ops
+
+
 WROWS = WIN // L  # window rows (17)
 HROWS = HALF // L  # half rows (32)
 
@@ -157,12 +205,13 @@ def _merge_kernel(meta_ref, a_ref, b_ref, out_ref, sa, sb, sems):
     out_ref[:] = jnp.where(r0 == 0, merged[:rows], merged[1 : rows + 1])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def merge_sorted(a, b, interpret=False):
-    """Merge two equal-length sorted uint32 arrays (SENT = +inf padding ok)."""
-    m = a.shape[0]
-    n_chunks = -(-2 * m // CH)
-    splits = _diagonal_splits(a, b, m, n_chunks).astype(jnp.int32)
+def _chunk_meta(splits, m):
+    """Per-chunk (pa_row, pb_row, end_a, end_b, off_a) from diagonal splits.
+
+    The complementary-alignment bookkeeping shared by both kernels; see the
+    module docstring.
+    """
+    n_chunks = splits.shape[0] - 1
     i0 = splits[:-1]
     i1 = splits[1:]
     d = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * CH, 2 * m)
@@ -173,17 +222,36 @@ def merge_sorted(a, b, interpret=False):
     pa = i0 - off_a
     off_b = (L - off_a) % L
     pb = j0 + L - off_b  # 128-aligned because (i0 + j0) % 128 == 0
-    meta = jnp.stack(
+    # [n_chunks, 1, 5] so the SMEM block (1, 1, 5) satisfies the
+    # last-two-dims rule
+    return jnp.stack(
         [pa // L, pb // L, off_a + (i1 - i0), off_b + (j1 - j0), off_a], axis=1
-    ).astype(jnp.int32)[:, None, :]  # [n_chunks, 1, 5] so the SMEM
-    # block (1, 1, 5) satisfies the last-two-dims rule
-    # pad to row multiples and shape [rows, L] (2-D end to end for Mosaic)
-    a_pad = (-(len(a) + WIN + L) % L) + WIN + L
-    a_p = jnp.concatenate([a, jnp.full(a_pad, SENT, jnp.uint32)]).reshape(-1, L)
-    b_pad = (-(len(b) + L + WIN + L) % L) + WIN + L
-    b_p = jnp.concatenate(
-        [jnp.zeros(L, jnp.uint32), b, jnp.full(b_pad, SENT, jnp.uint32)]
+    ).astype(jnp.int32)[:, None, :]
+
+
+def _pad_a(x, fill):
+    """Pad side-a input to row multiples + window slack, shaped [rows, L]."""
+    pad = (-(x.shape[0] + WIN + L) % L) + WIN + L
+    return jnp.concatenate([x, jnp.full(pad, fill, x.dtype)]).reshape(-1, L)
+
+
+def _pad_b(x, fill, front):
+    """Side-b input with the 128-element front pad enabling alignment."""
+    pad = (-(x.shape[0] + L + WIN + L) % L) + WIN + L
+    return jnp.concatenate(
+        [jnp.full(L, front, x.dtype), x, jnp.full(pad, fill, x.dtype)]
     ).reshape(-1, L)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sorted(a, b, interpret=False):
+    """Merge two equal-length sorted uint32 arrays (SENT = +inf padding ok)."""
+    m = a.shape[0]
+    n_chunks = -(-2 * m // CH)
+    splits = _diagonal_splits(a, b, m, n_chunks).astype(jnp.int32)
+    meta = _chunk_meta(splits, m)
+    a_p = _pad_a(a, SENT)
+    b_p = _pad_b(b, SENT, 0)
     rows = CH // L
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -212,3 +280,142 @@ def merge_sorted(a, b, interpret=False):
         interpret=interpret,
     )(meta, a_p, b_p)
     return out.reshape(-1)[: 2 * m]
+
+
+# --- keyed merge: 64-bit (hi, lo) keys with uint32 count payload -------------------
+
+
+def _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks):
+    """64-bit lexicographic variant of :func:`_diagonal_splits` (a wins ties,
+    matching the in-kernel position tiebreak where a-half positions sort
+    first)."""
+    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * CH
+    d = jnp.minimum(d, 2 * m)
+    lo = jnp.maximum(0, d - m)
+    hi = jnp.minimum(d, m)
+
+    def key_at(h, l, i):
+        # i < 0 acts as -inf (0,0), i >= m as +inf (SENT,SENT)
+        v = jnp.clip(i, 0, m - 1)
+        kh = jnp.where(i >= m, jnp.uint32(SENT), jnp.where(i < 0, 0, h[v]))
+        kl = jnp.where(i >= m, jnp.uint32(SENT), jnp.where(i < 0, 0, l[v]))
+        return kh, kl
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        bi = d - mid - 1
+        bjh, bjl = key_at(bh, bl, bi)
+        amh, aml = key_at(ah, al, mid)
+        gt = (amh > bjh) | ((amh == bjh) & (aml > bjl))
+        # a real (0,0) key ties with the bi < 0 "-inf"; the sentinel loses
+        gt = jnp.where(bi < 0, True, gt)
+        return jnp.where(gt, lo, mid + 1), jnp.where(gt, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return lo
+
+
+def _merge_kv_kernel(
+    meta_ref, ah_ref, al_ref, ac_ref, bh_ref, bl_ref, bc_ref,
+    oh_ref, ol_ref, oc_ref, sh, sl, sc, th, tl, tc, sems,
+):
+    pa = meta_ref[0, 0, 0]
+    pb = meta_ref[0, 0, 1]
+    ea = meta_ref[0, 0, 2]
+    eb = meta_ref[0, 0, 3]
+    r0 = meta_ref[0, 0, 4]
+    copies = [
+        pltpu.make_async_copy(r.at[pl.ds(p, WROWS), :], s.at[:WROWS], sems.at[i])
+        for i, (r, s, p) in enumerate(
+            [
+                (ah_ref, sh, pa), (al_ref, sl, pa), (ac_ref, sc, pa),
+                (bh_ref, th, pb), (bl_ref, tl, pb), (bc_ref, tc, pb),
+            ]
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 1)
+    idx = row_id * L + lane_id
+    bias = jnp.uint32(0x80000000)
+
+    def mask_half(h_s, l_s, c_s, end):
+        good = idx < end
+        h = pltpu.bitcast(jnp.where(good, h_s[:], jnp.uint32(SENT)) ^ bias, jnp.int32)
+        l = pltpu.bitcast(jnp.where(good, l_s[:], jnp.uint32(SENT)) ^ bias, jnp.int32)
+        c = jnp.where(good, c_s[:], jnp.uint32(0))
+        return h, l, c
+
+    a_h, a_l, a_c = mask_half(sh, sl, sc, ea)
+    b_h, b_l, b_c = mask_half(th, tl, tc, eb)
+    xh = jnp.concatenate([a_h, b_h], axis=0)
+    xl = jnp.concatenate([a_l, b_l], axis=0)
+    xc = pltpu.bitcast(jnp.concatenate([a_c, b_c], axis=0), jnp.int32)
+    # position tiebreak: totally orders duplicate keys so every entry lands
+    # in exactly one chunk (counts must be neither lost nor cloned across
+    # chunk boundaries); matches the bisection's a-wins-ties convention
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    xp = rr * L + ll
+    mh, ml, mp, mc = _oddeven_merge_multi((xh, xl, xp, xc), n_keys=3)
+    del mp
+    rows = CH // L
+    sel = r0 == 0
+
+    def pick(v):
+        return jnp.where(sel, v[:rows], v[1 : rows + 1])
+
+    oh_ref[:] = pltpu.bitcast(pick(mh), jnp.uint32) ^ bias
+    ol_ref[:] = pltpu.bitcast(pick(ml), jnp.uint32) ^ bias
+    oc_ref[:] = pltpu.bitcast(pick(mc), jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
+    """Merge two equal-length key-sorted (hi, lo, cnt) triples.
+
+    Keys are 64-bit (hi, lo) uint32 pairs sorted ascending within each
+    input; (SENT, SENT) acts as +inf padding. Counts travel untouched; when
+    both inputs contain the same key, all copies appear adjacently in the
+    output (summing them is the caller's run-length pass).
+    """
+    m = ah.shape[0]
+    n_chunks = -(-2 * m // CH)
+    splits = _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks).astype(jnp.int32)
+    meta = _chunk_meta(splits, m)
+    ins = (
+        _pad_a(ah, SENT), _pad_a(al, SENT), _pad_a(ac, 0),
+        _pad_b(bh, SENT, 0), _pad_b(bl, SENT, 0), _pad_b(bc, 0, 0),
+    )
+    rows = CH // L
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 5), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=(
+            pl.BlockSpec((rows, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        )
+        * 3,
+        scratch_shapes=[pltpu.VMEM((HROWS, L), jnp.uint32)] * 6
+        + [pltpu.SemaphoreType.DMA((6,))],
+    )
+    shape = jax.ShapeDtypeStruct((n_chunks * rows, L), jnp.uint32)
+    oh, ol, oc = pl.pallas_call(
+        _merge_kv_kernel,
+        out_shape=(shape, shape, shape),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, *ins)
+    n = 2 * m
+    return (
+        oh.reshape(-1)[:n],
+        ol.reshape(-1)[:n],
+        oc.reshape(-1)[:n],
+    )

@@ -56,3 +56,53 @@ def test_sentinel_padding_tail():
     )
     got = _merge(a, b)
     assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+class TestKeyedMerge:
+    """(hi, lo, cnt) merge: exact multiset of entries under any duplication."""
+
+    def _case(self, m, key_space, seed):
+        import collections
+
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.pallas_merge import merge_sorted_kv
+
+        r = np.random.default_rng(seed)
+
+        def gen():
+            k = np.sort(r.integers(0, key_space, m, np.int64).astype(np.uint64))
+            h = (k >> 32).astype(np.uint32)
+            lo = k.astype(np.uint32)
+            c = r.integers(1, 100, m, np.int64).astype(np.uint32)
+            return k, h, lo, c
+
+        ka, ha, la, ca = gen()
+        kb, hb, lb, cb = gen()
+        oh, ol, oc = merge_sorted_kv(
+            *map(jnp.asarray, (ha, la, ca, hb, lb, cb)), interpret=True
+        )
+        ok64 = (np.asarray(oh).astype(np.uint64) << 32) | np.asarray(ol).astype(
+            np.uint64
+        )
+        assert np.all(ok64[:-1] <= ok64[1:])
+        exp = collections.Counter(
+            zip(np.concatenate([ka, kb]).tolist(), np.concatenate([ca, cb]).tolist())
+        )
+        got = collections.Counter(zip(ok64.tolist(), np.asarray(oc).tolist()))
+        assert got == exp  # no count lost or cloned across chunk boundaries
+
+    def test_sparse_keys(self):
+        self._case(CH, 1 << 40, 2)
+
+    def test_dense_duplicates(self):
+        self._case(2 * CH, 50, 3)
+
+    def test_partial_tail(self):
+        self._case(3 * CH + 64, 1 << 20, 4)
+
+    def test_extreme_duplication(self):
+        self._case(4 * CH, 8, 5)
+
+    def test_single_key(self):
+        self._case(2 * CH, 1, 6)

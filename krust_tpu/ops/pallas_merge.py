@@ -37,7 +37,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,7 +66,11 @@ def _diagonal_splits(a, b, m, n_chunks):
         am = jnp.where(mid < m, a[jnp.clip(mid, 0, m - 1)], jnp.uint32(SENT))
         # a value of 0 ties with the bi < 0 "-inf"; the sentinel must lose
         go_low = jnp.where(bi < 0, True, am > bj)
-        return jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi)
+        # freeze once converged: SENT-vs-SENT ties could push lo past hi
+        done = lo >= hi
+        new_lo = jnp.where(go_low, lo, mid + 1)
+        new_hi = jnp.where(go_low, mid, hi)
+        return jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi)
 
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
     return lo
@@ -96,32 +99,9 @@ def _flat_roll(x, shift):
 
 
 def _oddeven_merge_2d(x):
-    """Ascending Batcher odd-even merge of x [R, L] (two sorted halves).
-
-    Verified flattening: compare (i, i + n/2) for i < n/2, then for
-    s = n/4..1 compare (i, i + s) where (i mod 2s) >= s and i + s < n.
-    """
-    n = R * L
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
-    flat = row_id * L + lane_id
-    s = n // 2
-    while s >= 1:
-        if s == n // 2:
-            is_low = flat < s
-            is_high = flat >= s
-        else:
-            is_low = ((flat % (2 * s)) >= s) & (flat + s < n)
-            is_high = (((flat - s) % (2 * s)) >= s) & (flat - s >= 0)
-        y_fwd = _flat_roll(x, -s)  # value at i + s
-        y_bwd = _flat_roll(x, s)  # value at i - s
-        x = jnp.where(
-            is_low,
-            jnp.minimum(x, y_fwd),
-            jnp.where(is_high, jnp.maximum(x, y_bwd), x),
-        )
-        s //= 2
-    return x
+    """Single-operand odd-even merge (the n_keys=1 case of the multi-operand
+    network below)."""
+    return _oddeven_merge_multi((x,), n_keys=1)[0]
 
 
 def _oddeven_merge_multi(ops, n_keys):
@@ -246,7 +226,11 @@ def _pad_b(x, fill, front):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def merge_sorted(a, b, interpret=False):
     """Merge two equal-length sorted uint32 arrays (SENT = +inf padding ok)."""
+    if a.shape != b.shape:
+        raise ValueError(f"inputs must have equal shape, got {a.shape} vs {b.shape}")
     m = a.shape[0]
+    if m == 0:
+        return jnp.zeros(0, jnp.uint32)
     n_chunks = -(-2 * m // CH)
     splits = _diagonal_splits(a, b, m, n_chunks).astype(jnp.int32)
     meta = _chunk_meta(splits, m)
@@ -310,7 +294,11 @@ def _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks):
         gt = (amh > bjh) | ((amh == bjh) & (aml > bjl))
         # a real (0,0) key ties with the bi < 0 "-inf"; the sentinel loses
         gt = jnp.where(bi < 0, True, gt)
-        return jnp.where(gt, lo, mid + 1), jnp.where(gt, mid, hi)
+        # freeze once converged: SENT-vs-SENT ties could push lo past hi
+        done = lo >= hi
+        new_lo = jnp.where(gt, lo, mid + 1)
+        new_hi = jnp.where(gt, mid, hi)
+        return jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi)
 
     lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
     return lo
@@ -383,7 +371,13 @@ def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
     both inputs contain the same key, all copies appear adjacently in the
     output (summing them is the caller's run-length pass).
     """
+    shapes = {x.shape for x in (ah, al, ac, bh, bl, bc)}
+    if len(shapes) != 1:
+        raise ValueError(f"all six operands must have equal shape, got {shapes}")
     m = ah.shape[0]
+    if m == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z, z
     n_chunks = -(-2 * m // CH)
     splits = _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks).astype(jnp.int32)
     meta = _chunk_meta(splits, m)

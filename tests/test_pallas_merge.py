@@ -106,3 +106,42 @@ class TestKeyedMerge:
 
     def test_single_key(self):
         self._case(2 * CH, 1, 6)
+
+
+def test_unequal_shapes_rejected():
+    import jax.numpy as jnp
+
+    from krust_tpu.ops.pallas_merge import merge_sorted, merge_sorted_kv
+
+    with pytest.raises(ValueError):
+        merge_sorted(jnp.zeros(300, jnp.uint32), jnp.zeros(500, jnp.uint32),
+                     interpret=True)
+    z = jnp.zeros(256, jnp.uint32)
+    with pytest.raises(ValueError):
+        merge_sorted_kv(z, z, z, z, z, jnp.zeros(128, jnp.uint32),
+                        interpret=True)
+
+
+def test_empty_inputs():
+    import jax.numpy as jnp
+
+    from krust_tpu.ops.pallas_merge import merge_sorted, merge_sorted_kv
+
+    z = jnp.zeros(0, jnp.uint32)
+    assert merge_sorted(z, z, interpret=True).shape == (0,)
+    oh, ol, oc = merge_sorted_kv(z, z, z, z, z, z, interpret=True)
+    assert oh.shape == ol.shape == oc.shape == (0,)
+
+
+def test_sent_saturated_input():
+    """One side entirely SENT: splits must stay in range, output exact."""
+    import jax.numpy as jnp
+
+    from krust_tpu.ops.pallas_merge import merge_sorted
+
+    m = 2 * CH
+    rng = np.random.default_rng(8)
+    a = np.sort(rng.integers(0, 1 << 30, m, np.int64).astype(np.uint32))
+    b = np.full(m, SENT, np.uint32)
+    got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b), interpret=True))
+    assert np.array_equal(got, np.sort(np.concatenate([a, b])))

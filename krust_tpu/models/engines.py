@@ -193,9 +193,12 @@ class NumpyEngine:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rows", "block_windows", "use_pallas")
+    jax.jit,
+    static_argnames=("k", "rows", "block_windows", "use_pallas", "sort_output"),
 )
-def _count_flat_step(packed2, invpos, covered, k, rows, block_windows, use_pallas):
+def _count_flat_step(
+    packed2, invpos, covered, k, rows, block_windows, use_pallas, sort_output=False
+):
     """Flat-transfer batch step: the minimum-byte device pipeline.
 
     Unpacks a contiguous 2-bit stream slice, scatters invalid positions,
@@ -215,11 +218,28 @@ def _count_flat_step(packed2, invpos, covered, k, rows, block_windows, use_palla
     w = block_windows
     idx = jax.numpy.arange(rows * w, dtype=jax.numpy.int32).reshape(rows, w)
     valid = valid & (idx < covered)
+    if sort_output:
+        return _sorted_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "width", "use_pallas"))
-def _dense_raw_step(packed2, badbits, k, width, use_pallas=False):
+def _sorted_part(hi, lo, valid):
+    """Key-sorted (hi, lo, weight) run for the merge-kernel table: invalid
+    windows become (SENT, SENT) sentinel pairs at the back. The per-batch
+    sort rides under the next batch's host->device transfer."""
+    jnp = jax.numpy
+    sent = jnp.uint32(0xFFFFFFFF)
+    valid = valid.reshape(-1)
+    key_hi = jnp.where(valid, hi.reshape(-1), sent)
+    key_lo = jnp.where(valid, lo.reshape(-1), sent)
+    w = valid.astype(jnp.uint32)
+    return jax.lax.sort((key_hi, key_lo, w), num_keys=2, is_stable=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "use_pallas", "sort_output")
+)
+def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, sort_output=False):
     """Dense-mask batch step: unpack -> codec -> raw (hi, lo, weight)."""
     from ..ops.codec import encode_blocks, unpack_2bit
     from ..ops.pallas_codec import encode_blocks_pallas
@@ -227,6 +247,8 @@ def _dense_raw_step(packed2, badbits, k, width, use_pallas=False):
     codes = unpack_2bit(packed2, badbits, width)
     enc = encode_blocks_pallas if use_pallas else encode_blocks
     hi, lo, valid = enc(codes, k, None, None)
+    if sort_output:
+        return _sorted_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
 
 
@@ -298,11 +320,15 @@ class BatchEngine:
         tracker: ProgressTracker | None = None,
     ) -> PackedCounts:
         from ..io.packer import flat_batches, pack_buffer_2bit
-        from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
+        from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable, KernelTable
 
         cfg = self.config
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
-        table = DeviceTable(k)
+        use_kernel = cfg.use_merge_kernel
+        if use_kernel:
+            table = KernelTable(k, interpret=not _pallas_available())
+        else:
+            table = DeviceTable(k)
         use_pallas = cfg.use_pallas and _pallas_available()
         epochs: list[tuple[np.ndarray, np.ndarray]] = []
 
@@ -329,6 +355,7 @@ class BatchEngine:
                         batch.rows,
                         batch.block_windows,
                         use_pallas,
+                        use_kernel,
                     )
                     table.add(u_hi, u_lo, u_cnt, batch_windows)
         else:  # dense path: invalid/quality-masked bases too numerous
@@ -347,6 +374,7 @@ class BatchEngine:
                         k,
                         batch.width,
                         use_pallas,
+                        use_kernel,
                     )
                     table.add(u_hi, u_lo, u_cnt, batch_windows)
         if tracker is not None:

@@ -176,6 +176,47 @@ def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
     return u_hi, c_lo, c_cnt, n_unique
 
 
+@jax.jit
+def merge_runs_presorted(hi: jax.Array, lo: jax.Array, weight: jax.Array):
+    """:func:`merge_runs` for an ALREADY key-sorted stream — skips the main
+    sort (the expensive half), leaving run-length counting + compaction.
+
+    Input: (hi, lo) keys ascending with invalid/padding marked by the
+    (0xFFFFFFFF, 0xFFFFFFFF) sentinel PAIR at the back — safe for every k
+    in 1..=32 (the all-ones key's reverse complement is 0, so it is never
+    canonical). Output padding keeps the sentinel keys (so results feed
+    further sorted merges directly), unlike merge_runs's zero-scrubbed pads.
+    """
+    hi = hi.reshape(-1)
+    lo = lo.reshape(-1)
+    weight = weight.reshape(-1).astype(jnp.uint32)
+    n = hi.shape[0]
+    if n == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z, z, jnp.int32(0)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    sorted_valid = ~((hi == sentinel) & (lo == sentinel))
+    prev_differs = (hi != jnp.roll(hi, 1)) | (lo != jnp.roll(lo, 1))
+    next_differs = (hi != jnp.roll(hi, -1)) | (lo != jnp.roll(lo, -1))
+    is_start = prev_differs.at[0].set(True)
+    is_end = next_differs.at[n - 1].set(True)
+    prefix = jnp.cumsum(weight, dtype=jnp.uint32)
+    prefix_before = jax.lax.cummax(jnp.where(is_start, prefix - weight, 0))
+    run_sum = prefix - prefix_before
+    emit = is_end & sorted_valid & (run_sum > 0)
+    n_unique = jnp.sum(emit, dtype=jnp.int32)
+    c_hi, c_lo, c_cnt = jax.lax.sort(
+        (
+            jnp.where(emit, hi, sentinel),
+            jnp.where(emit, lo, sentinel),
+            jnp.where(emit, run_sum, 0),
+        ),
+        num_keys=2,
+        is_stable=False,
+    )
+    return c_hi, c_lo, c_cnt, n_unique
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def count_runs(hi: jax.Array, lo: jax.Array, valid: jax.Array, k: int):
     """Per-batch counting without compaction — the hot path.

@@ -185,17 +185,17 @@ def _merge_kernel(meta_ref, a_ref, b_ref, out_ref, sa, sb, sems):
     out_ref[:] = jnp.where(r0 == 0, merged[:rows], merged[1 : rows + 1])
 
 
-def _chunk_meta(splits, m):
+def _chunk_meta(splits, total):
     """Per-chunk (pa_row, pb_row, end_a, end_b, off_a) from diagonal splits.
 
     The complementary-alignment bookkeeping shared by both kernels; see the
-    module docstring.
+    module docstring. ``total`` is the merged length (len(a) + len(b)).
     """
     n_chunks = splits.shape[0] - 1
     i0 = splits[:-1]
     i1 = splits[1:]
-    d = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * CH, 2 * m)
-    d1 = jnp.minimum(d + CH, 2 * m)
+    d = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * CH, total)
+    d1 = jnp.minimum(d + CH, total)
     j0 = d - i0
     j1 = d1 - i1
     off_a = i0 % L
@@ -233,7 +233,7 @@ def merge_sorted(a, b, interpret=False):
         return jnp.zeros(0, jnp.uint32)
     n_chunks = -(-2 * m // CH)
     splits = _diagonal_splits(a, b, m, n_chunks).astype(jnp.int32)
-    meta = _chunk_meta(splits, m)
+    meta = _chunk_meta(splits, 2 * m)
     a_p = _pad_a(a, SENT)
     b_p = _pad_b(b, SENT, 0)
     rows = CH // L
@@ -269,16 +269,16 @@ def merge_sorted(a, b, interpret=False):
 # --- keyed merge: 64-bit (hi, lo) keys with uint32 count payload -------------------
 
 
-def _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks):
+def _diagonal_splits_kv(ah, al, bh, bl, ma, mb, n_chunks):
     """64-bit lexicographic variant of :func:`_diagonal_splits` (a wins ties,
     matching the in-kernel position tiebreak where a-half positions sort
-    first)."""
+    first). Supports unequal input lengths ma / mb."""
     d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * CH
-    d = jnp.minimum(d, 2 * m)
-    lo = jnp.maximum(0, d - m)
-    hi = jnp.minimum(d, m)
+    d = jnp.minimum(d, ma + mb)
+    lo = jnp.maximum(0, d - mb)
+    hi = jnp.minimum(d, ma)
 
-    def key_at(h, l, i):
+    def key_at(h, l, i, m):
         # i < 0 acts as -inf (0,0), i >= m as +inf (SENT,SENT)
         v = jnp.clip(i, 0, m - 1)
         kh = jnp.where(i >= m, jnp.uint32(SENT), jnp.where(i < 0, 0, h[v]))
@@ -289,8 +289,8 @@ def _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks):
         lo, hi = carry
         mid = (lo + hi) // 2
         bi = d - mid - 1
-        bjh, bjl = key_at(bh, bl, bi)
-        amh, aml = key_at(ah, al, mid)
+        bjh, bjl = key_at(bh, bl, bi, mb)
+        amh, aml = key_at(ah, al, mid, ma)
         gt = (amh > bjh) | ((amh == bjh) & (aml > bjl))
         # a real (0,0) key ties with the bi < 0 "-inf"; the sentinel loses
         gt = jnp.where(bi < 0, True, gt)
@@ -369,18 +369,25 @@ def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
     Keys are 64-bit (hi, lo) uint32 pairs sorted ascending within each
     input; (SENT, SENT) acts as +inf padding. Counts travel untouched; when
     both inputs contain the same key, all copies appear adjacently in the
-    output (summing them is the caller's run-length pass).
+    output (summing them is the caller's run-length pass). The two inputs
+    may have different lengths.
     """
-    shapes = {x.shape for x in (ah, al, ac, bh, bl, bc)}
-    if len(shapes) != 1:
-        raise ValueError(f"all six operands must have equal shape, got {shapes}")
-    m = ah.shape[0]
-    if m == 0:
+    if not (ah.shape == al.shape == ac.shape) or not (
+        bh.shape == bl.shape == bc.shape
+    ):
+        raise ValueError("per-side operands must have equal shapes")
+    ma = ah.shape[0]
+    mb = bh.shape[0]
+    total = ma + mb
+    if total == 0:
         z = jnp.zeros(0, jnp.uint32)
         return z, z, z
-    n_chunks = -(-2 * m // CH)
-    splits = _diagonal_splits_kv(ah, al, bh, bl, m, n_chunks).astype(jnp.int32)
-    meta = _chunk_meta(splits, m)
+    if ma == 0 or mb == 0:
+        side = (bh, bl, bc) if ma == 0 else (ah, al, ac)
+        return side
+    n_chunks = -(-total // CH)
+    splits = _diagonal_splits_kv(ah, al, bh, bl, ma, mb, n_chunks).astype(jnp.int32)
+    meta = _chunk_meta(splits, total)
     ins = (
         _pad_a(ah, SENT), _pad_a(al, SENT), _pad_a(ac, 0),
         _pad_b(bh, SENT, 0), _pad_b(bl, SENT, 0), _pad_b(bc, 0, 0),
@@ -407,9 +414,8 @@ def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, *ins)
-    n = 2 * m
     return (
-        oh.reshape(-1)[:n],
-        ol.reshape(-1)[:n],
-        oc.reshape(-1)[:n],
+        oh.reshape(-1)[:total],
+        ol.reshape(-1)[:total],
+        oc.reshape(-1)[:total],
     )

@@ -32,6 +32,11 @@ class EngineConfig:
     #: use the Pallas TPU kernel for the rolling codec when available
     use_pallas: bool = True
 
+    #: use the merge-path Pallas kernel table: per-batch key sorts feed
+    #: O(n) pairwise merges instead of O(n log^2 n) re-sorts (experimental;
+    #: exact — differentially tested against the default table)
+    use_merge_kernel: bool = False
+
     #: use the flat minimal-byte transfer path (2-bit stream slices + sparse
     #: invalid positions) when invalid bases are sparse; falls back to the
     #: dense badbits path automatically for dirty inputs

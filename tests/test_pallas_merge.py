@@ -145,3 +145,39 @@ def test_sent_saturated_input():
     b = np.full(m, SENT, np.uint32)
     got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b), interpret=True))
     assert np.array_equal(got, np.sort(np.concatenate([a, b])))
+
+
+def test_kv_unequal_lengths():
+    """The engine merges a small table run into a large batch run."""
+    import collections
+
+    import jax.numpy as jnp
+
+    from krust_tpu.ops.pallas_merge import merge_sorted_kv
+
+    r = np.random.default_rng(11)
+    for ma, mb in [(CH, 7 * CH), (5 * CH + 100, 300), (1, 2 * CH)]:
+        def gen(m):
+            k = np.sort(r.integers(0, 1 << 20, m, np.int64).astype(np.uint64))
+            return (
+                k,
+                (k >> 32).astype(np.uint32),
+                k.astype(np.uint32),
+                r.integers(1, 100, m, np.int64).astype(np.uint32),
+            )
+
+        ka, ha, la, ca = gen(ma)
+        kb, hb, lb, cb = gen(mb)
+        oh, ol, oc = merge_sorted_kv(
+            *map(jnp.asarray, (ha, la, ca, hb, lb, cb)), interpret=True
+        )
+        ok64 = (np.asarray(oh).astype(np.uint64) << 32) | np.asarray(ol).astype(
+            np.uint64
+        )
+        assert ok64.shape[0] == ma + mb
+        assert np.all(ok64[:-1] <= ok64[1:])
+        exp = collections.Counter(
+            zip(np.concatenate([ka, kb]).tolist(), np.concatenate([ca, cb]).tolist())
+        )
+        got = collections.Counter(zip(ok64.tolist(), np.asarray(oc).tolist()))
+        assert got == exp, (ma, mb)

@@ -34,6 +34,7 @@ Reference analog: none — the reference merges via dashmap shard locks
 
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 SENT = 0xFFFFFFFF
 L = 128
-CH = 2048  # output chunk (16 rows; block shapes need rows % 8 == 0)
-WIN = CH + L  # aligned DMA window per input (17 rows)
-HALF = 4096  # network half (window padded with SENT)
+
+#: Output chunk per grid program. Bigger chunks amortize DMA latency (the
+#: kernel is DMA-bound at small sizes): measured 134M-element merges on v5e
+#: ran 168/124/91/74/68 ms at CH = 2k/4k/8k/16k/32k. 16384 is the default
+#: (6x over lax.sort, comfortably inside VMEM for the keyed variant); tests
+#: shrink it via KRUST_MERGE_CHUNK for fast interpret-mode runs.
+CH = int(os.environ.get("KRUST_MERGE_CHUNK", 16384))
+assert CH % (8 * L) == 0, "CH must be a multiple of 1024 (8 rows of 128)"
+WIN = CH + L  # aligned DMA window per input
+
+def _pow2_at_least(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+HALF = _pow2_at_least(WIN)  # network half (window padded with SENT)
 N = 2 * HALF  # merge network size
-R = N // L  # rows of the network layout (64)
+R = N // L  # rows of the network layout
 
 
 def _diagonal_splits(a, b, m, n_chunks):

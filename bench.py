@@ -93,8 +93,8 @@ def main() -> None:
     # likewise reports distribution minima). A time budget caps total wall
     # so a degraded tunnel can't run the bench into an external timeout.
     times = []
-    budget = 80.0
-    for _ in range(3):
+    budget = 180.0
+    for _ in range(5):
         t0 = time.perf_counter()
         result = engine.count(streams, K)
         times.append(time.perf_counter() - t0)

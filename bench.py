@@ -104,6 +104,25 @@ def main() -> None:
     elapsed = min(times)
 
     bases_per_s = n_bases / elapsed
+
+    # probe the host<->TPU link so a tunnel-degraded run is interpretable:
+    # observed same-code wall times span 16s..98s purely with link phases
+    # (healthy ~40 MB/s h2d / ~20 MB/s d2h; degraded under 10 MB/s)
+    import jax.numpy as jnp
+
+    probe = np.random.randint(0, 255, 8 << 20, np.uint8)
+    x = jax.device_put(probe)
+    _ = np.asarray(x[:1])
+    t0 = time.perf_counter()
+    x2 = jax.device_put(np.random.randint(0, 255, 8 << 20, np.uint8))
+    _ = np.asarray(x2[:1])
+    h2d = 8 / (time.perf_counter() - t0)
+    r = jnp.asarray(probe) + jnp.uint8(1)
+    _ = np.asarray(r[:1])
+    t0 = time.perf_counter()
+    _ = np.asarray(r)
+    d2h = 8 / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -115,8 +134,10 @@ def main() -> None:
         )
     )
     print(
-        f"# platform={platform} elapsed={elapsed:.3f}s bases={n_bases} "
-        f"distinct={result.distinct} total={result.total}",
+        f"# platform={platform} elapsed={elapsed:.3f}s passes={len(times)} "
+        f"times={[round(t, 1) for t in times]} bases={n_bases} "
+        f"distinct={result.distinct} total={result.total} "
+        f"link_h2d={h2d:.1f}MB/s link_d2h={d2h:.1f}MB/s",
         file=sys.stderr,
     )
 

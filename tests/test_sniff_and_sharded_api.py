@@ -83,3 +83,23 @@ class TestShardedApi:
         got = KmerCounter.new().k(9).min_count(2).count_sharded(p)
         exp = {s: c for s, c in count_kmers(p, 9).items() if c >= 2}
         assert got == exp
+
+
+def test_sharded_gzip_fastq_quality(tmp_path):
+    """BASELINE config 5 composition: gzip FASTQ -> sharded count, with
+    quality filtering, equals the single-device engine."""
+    import gzip
+
+    from krust_tpu import count_kmers_with_quality
+
+    rng = np.random.default_rng(77)
+    recs = []
+    for i in range(12):
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, size=150)])
+        qual = "".join(chr(c) for c in rng.integers(33, 80, size=150))
+        recs.append(f"@r{i}\n{seq}\n+\n{qual}\n")
+    p = tmp_path / "reads.fq.gz"
+    p.write_bytes(gzip.compress("".join(recs).encode()))
+    got = count_kmers_sharded(p, 15, min_quality=5)
+    exp = count_kmers_with_quality(p, 15, min_quality=5)
+    assert got == exp and len(got) > 0

@@ -41,7 +41,11 @@ class SequenceFormat(enum.Enum):
         (reference: tests/library_tests.rs:177-196).
         """
         for b in data:
-            if b in (0x20, 0x09, 0x0A, 0x0D):  # space, tab, \n, \r
+            # Only line terminators may precede the header byte: the parsers
+            # require '>'/'@' at line START, so an input like ' >seq' must be
+            # rejected as undetectable here rather than sniffed as FASTA and
+            # then failing with a confusing parse error downstream.
+            if b in (0x0A, 0x0D):  # \n, \r
                 continue
             if b == 0x3E:  # '>'
                 return cls.FASTA

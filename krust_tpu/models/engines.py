@@ -1,7 +1,7 @@
 """Counting engines.
 
 Three interchangeable engines produce identical results (a determinism
-contract tested in tests/test_engines.py):
+contract tested in tests/test_flat.py and tests/test_sharded.py):
 
 - :class:`BatchEngine` — the TPU path. Haloed block tensors stream to the
   device in fixed-shape batches; a fused jitted step runs the rolling codec
@@ -128,6 +128,60 @@ def _quality_threshold(min_quality: int | None) -> int | None:
     if min_quality is None:
         return None
     return min(min_quality + 33, 255)
+
+
+class _ProgressPacer:
+    """Apportions stream-level progress across device batches.
+
+    The reference fires its callback after every sequence from worker
+    threads (reference: src/run.rs:586-654); the device engine's unit of
+    work is a window batch, so the callback fires once per batch with
+    record/base totals apportioned by window fraction, then trued up to the
+    exact totals when the stream is done. Same Progress payload, monotonic,
+    batch cadence.
+    """
+
+    def __init__(
+        self,
+        tracker: ProgressTracker | None,
+        callback: ProgressCallback | None,
+        n_records: int,
+        n_bases: int,
+        total_windows: int,
+    ):
+        self._tracker = tracker
+        self._callback = callback
+        self._n_records = n_records
+        self._n_bases = n_bases
+        self._total = max(total_windows, 1)
+        self._done_windows = 0
+        self._rec_sent = 0
+        self._base_sent = 0
+
+    def step(self, windows: int) -> None:
+        """Record one processed batch covering ``windows`` real windows."""
+        if self._tracker is None:
+            return
+        self._done_windows = min(self._done_windows + windows, self._total)
+        frac = self._done_windows / self._total
+        rec = min(int(frac * self._n_records), self._n_records)
+        base = min(int(frac * self._n_bases), self._n_bases)
+        self._tracker.record_batch(rec - self._rec_sent, base - self._base_sent)
+        self._rec_sent, self._base_sent = rec, base
+        if self._callback is not None:
+            self._callback(self._tracker.snapshot())
+
+    def finish(self) -> None:
+        """True up to the exact stream totals (always fires once)."""
+        if self._tracker is None:
+            return
+        self._tracker.record_batch(
+            self._n_records - self._rec_sent, self._n_bases - self._base_sent
+        )
+        self._rec_sent = self._n_records
+        self._base_sent = self._n_bases
+        if self._callback is not None:
+            self._callback(self._tracker.snapshot())
 
 
 # --- numpy host engine -----------------------------------------------------------
@@ -331,6 +385,10 @@ class BatchEngine:
             table = DeviceTable(k)
         use_pallas = cfg.use_pallas and _pallas_available()
         epochs: list[tuple[np.ndarray, np.ndarray]] = []
+        total_windows = max(streams.codes.shape[0] - k + 1, 0)
+        pacer = _ProgressPacer(
+            tracker, progress, streams.n_records, streams.n_bases, total_windows
+        )
 
         qual_stream = streams.qual if thr is not None else None
         flat = (
@@ -358,6 +416,7 @@ class BatchEngine:
                         use_kernel,
                     )
                     table.add(u_hi, u_lo, u_cnt, batch_windows)
+                pacer.step(batch.covered)
         else:  # dense path: invalid/quality-masked bases too numerous
             batches = pack_buffer_2bit(
                 streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
@@ -377,10 +436,8 @@ class BatchEngine:
                         use_kernel,
                     )
                     table.add(u_hi, u_lo, u_cnt, batch_windows)
-        if tracker is not None:
-            tracker.record_batch(streams.n_records, streams.n_bases)
-            if progress is not None:
-                progress(tracker.snapshot())
+                pacer.step(batch.n_windows)
+        pacer.finish()
         epochs.append(table.finalize())
         if len(epochs) == 1:
             codes64, counts64 = epochs[0]  # already sorted and distinct

@@ -128,8 +128,9 @@ class DeviceTable:
     carry a leading per-chip axis and merge inside shard_map).
     """
 
-    #: max entries across pending parts before a forced merge — bounds the
-    #: merge input (plus temps, XLA sort uses ~3x) well inside v5e's 16GB HBM
+    #: max merge-input entries (pending parts + compacted table) before a
+    #: forced merge — bounds the merge working set (plus temps, XLA sort
+    #: uses ~3x) well inside v5e's 16GB HBM
     PENDING_ENTRY_LIMIT = 280_000_000
 
     #: entry axis of part arrays (ShardedTable: 1, behind the chip axis)
@@ -170,11 +171,19 @@ class DeviceTable:
         # batch up parts before merging: each window is sorted exactly once
         # regardless, so fewer merges = less per-merge overhead and fewer
         # resolve syncs; max_parts / the entry limit bound HBM held by
-        # pending raw parts and the merge working set
-        if (
-            len(self._parts) >= self._max_parts
-            or self._pending >= self.PENDING_ENTRY_LIMIT
-        ):
+        # pending raw parts and the merge working set. The merge input is
+        # parts PLUS the compacted table, so the trigger accounts for the
+        # table's length too (with a floor of LIMIT/8 pending so a huge
+        # table cannot force a quadratic merge-per-batch regime).
+        table_len = 0
+        if self._table is not None:
+            table_len = self._table[0].shape[self.AXIS]
+        elif self._merge is not None:
+            table_len = self._merge[0].shape[self.AXIS]
+        pending_cap = max(
+            self.PENDING_ENTRY_LIMIT - table_len, self.PENDING_ENTRY_LIMIT // 8
+        )
+        if len(self._parts) >= self._max_parts or self._pending >= pending_cap:
             self._compact()
 
     def _slice_keep(self, arrays, keep: int):

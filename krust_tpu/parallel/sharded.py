@@ -44,6 +44,7 @@ from ..kmer import INVALID_CODE
 from ..models.engines import (
     PackedCounts,
     _HostAccumulator,
+    _ProgressPacer,
     _quality_threshold,
 )
 from ..ops.codec import encode_blocks
@@ -269,10 +270,12 @@ class ShardedTable(DeviceTable):
         t_hi, t_lo, t_cnt = self._table
         n_dev = self._mesh.shape[DATA_AXIS]
         n_loc = t_hi.shape[1]
-        for factor in (capacity_factor, capacity_factor * 4, 0):
+        final_factor = capacity_factor * 4
+        for factor in (capacity_factor, final_factor, 0):
             if factor == 0:
                 raise CapacityOverflow(
-                    "hash-shard capacity exceeded even at 16x uniform load"
+                    f"hash-shard capacity exceeded even at {final_factor}x "
+                    "uniform load"
                 )
             cap = min(max(64, -(-n_loc // n_dev) * factor), n_loc)
             with span("sharded_exchange", devices=n_dev, cap=cap):
@@ -293,6 +296,8 @@ def count_sharded(
     min_quality: int | None = None,
     mesh: Mesh | None = None,
     config: EngineConfig | None = None,
+    progress=None,
+    tracker=None,
 ) -> PackedCounts:
     """Count a parsed input across all mesh devices; exact result.
 
@@ -310,6 +315,10 @@ def count_sharded(
     sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     acc = _HostAccumulator(cfg.host_compact_threshold)
     table = ShardedTable(k, mesh)
+    total_windows = max(streams.codes.shape[0] - k + 1, 0)
+    pacer = _ProgressPacer(
+        tracker, progress, streams.n_records, streams.n_bases, total_windows
+    )
 
     def flush_epoch():
         result = table.exchange()
@@ -355,6 +364,7 @@ def count_sharded(
                     p2_d, iv_d, cov_d, k, r_chip, w, mesh
                 )
             table.add(hi, lo, cnt, batch_windows)
+            pacer.step(int(cov.sum()))
     else:  # dense fallback: dirty input or flat-ineligible config
         batches = pack_buffer(
             streams.codes,
@@ -385,7 +395,9 @@ def count_sharded(
             with span("sharded_encode", rows=codes.shape[0], devices=n_dev):
                 hi, lo, cnt = _encode_sharded(codes_d, qual_d, k, thr, mesh)
             table.add(hi, lo, cnt, batch_windows)
+            pacer.step(batch.n_windows)
 
+    pacer.finish()
     flush_epoch()
     codes64, counts64 = acc.result()
     return PackedCounts(k, codes64, counts64)

@@ -154,3 +154,52 @@ def test_flat_halo_wider_than_block_falls_back():
     res = BatchEngine(cfg).count(streams, 31)
     oracle = NumpyEngine(cfg).count(streams, 31)
     _counts_equal(res, oracle)
+
+
+class TestProgressCadence:
+    """Per-batch progress (reference fires per sequence: src/run.rs:586-654).
+
+    The device engine must report >= 2 monotonic snapshots on a multi-batch
+    input — not one 0%->100% jump after all batches (round-1 regression)."""
+
+    def _run(self, use_flat):
+        from krust_tpu.utils.progress import ProgressTracker
+
+        rng = np.random.default_rng(3)
+        codes = _random_stream(rng, 40_000, p_invalid=0.0 if use_flat else 0.2)
+        streams = ParsedStreams(codes, None, 10, 40_000)
+        cfg = EngineConfig(block_windows=1024, batch_rows=8, use_flat=use_flat)
+        snaps = []
+        tracker = ProgressTracker()
+        BatchEngine(cfg).count(streams, 9, progress=snaps.append, tracker=tracker)
+        return snaps
+
+    @pytest.mark.parametrize("use_flat", [True, False])
+    def test_multiple_monotonic_snapshots(self, use_flat):
+        snaps = self._run(use_flat)
+        assert len(snaps) >= 3  # several batches + the true-up
+        bases = [s.bases_processed for s in snaps]
+        assert bases == sorted(bases)
+        assert 0 < bases[0] < 40_000  # first snapshot is a real partial
+        assert snaps[-1].bases_processed == 40_000
+        assert snaps[-1].sequences_processed == 10
+
+    def test_sharded_progress_cadence(self):
+        from krust_tpu.parallel.mesh import make_mesh
+        from krust_tpu.parallel.sharded import count_sharded
+        from krust_tpu.utils.progress import ProgressTracker
+
+        rng = np.random.default_rng(4)
+        codes = _random_stream(rng, 40_000)
+        streams = ParsedStreams(codes, None, 10, 40_000)
+        cfg = EngineConfig(block_windows=1024, batch_rows=8)
+        snaps = []
+        count_sharded(
+            streams, 9, mesh=make_mesh(), config=cfg,
+            progress=snaps.append, tracker=ProgressTracker(),
+        )
+        assert len(snaps) >= 2
+        bases = [s.bases_processed for s in snaps]
+        assert bases == sorted(bases)
+        assert snaps[-1].bases_processed == 40_000
+        assert snaps[-1].sequences_processed == 10

@@ -89,7 +89,7 @@ from .kmer import (
     unpack_to_string,
 )
 from .models.engines import PackedCounts
-from .output import OutputFormat, output_counts
+from .output import OutputFormat, format_packed_counts, output_counts, output_packed
 from .utils.progress import Progress, ProgressTracker
 
 __all__ = [
@@ -140,6 +140,8 @@ __all__ = [
     # output / histogram
     "OutputFormat",
     "output_counts",
+    "output_packed",
+    "format_packed_counts",
     "compute_histogram",
     "compute_histogram_packed",
     "histogram_stats",

@@ -27,7 +27,7 @@ from .models.engines import (
     SequentialEngine,
     count_streams,
 )
-from .output import OutputFormat, output_counts
+from .output import OutputFormat, output_counts, output_packed
 from .utils.config import EngineConfig
 from .utils.progress import Progress, ProgressTracker
 from .utils.tracing import span
@@ -288,7 +288,7 @@ def run_with_quality(
     """Full-option run (reference: src/run.rs:185-200). Stdin does not support
     quality filtering (reference: src/run.rs:193-198)."""
     counts = count_with_input(input_, k, input_format, min_quality, config)
-    output_counts(counts.to_string_dict(), fmt, min_count, out)
+    output_packed(counts, fmt, min_count, out)
 
 
 def count_with_input(

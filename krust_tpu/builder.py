@@ -25,7 +25,7 @@ from .histogram import compute_histogram
 from .io.format import SequenceFormat
 from .io.input import Input
 from .kmer import KmerLength
-from .output import OutputFormat, output_counts
+from .output import OutputFormat, output_counts, output_packed
 from .utils.config import EngineConfig
 from .utils.progress import Progress
 
@@ -166,10 +166,10 @@ class KmerCounter:
         """Count and print in the configured format
         (reference: src/builder.rs run)."""
         k = self._require_k()
-        counts = api._count_path(
+        result = api._count_path(
             path, k, self._input_format, self._min_quality, self._config
-        ).to_string_dict()
-        output_counts(counts, self._format, self._min_count, out)
+        )
+        output_packed(result, self._format, self._min_count, out)
 
     def count_to_writer(self, path: str | os.PathLike, out: TextIO) -> None:
         """Count and write to a supplied writer

@@ -22,7 +22,7 @@ from .index import KmerIndex, load_index, save_index
 from .io.format import SequenceFormat
 from .io.input import Input
 from .kmer import KmerLength, canonical_packed, pack
-from .output import OutputFormat, output_counts
+from .output import OutputFormat, output_packed
 from .utils.tracing import init_tracing
 
 _BOLD = "\033[1m"
@@ -169,7 +169,7 @@ def run_count(args: argparse.Namespace) -> None:
         return
 
     if args.save is not None:
-        index = KmerIndex(KmerLength(args.k), result.to_packed_dict())
+        index = KmerIndex.from_arrays(KmerLength(args.k), result.codes, result.counts)
         try:
             save_index(index, args.save)
         except KrustError as e:
@@ -182,7 +182,7 @@ def run_count(args: argparse.Namespace) -> None:
                 file=sys.stderr,
             )
 
-    output_counts(result.to_string_dict(), out_format, args.min_count)
+    output_packed(result, out_format, args.min_count)
 
 
 def run_query(args: argparse.Namespace) -> None:

@@ -37,49 +37,97 @@ _MIN_SIZE = 18  # header (14) + crc (4)
 
 
 class KmerIndex:
-    """Packed canonical k-mer -> count mapping (reference: src/index.rs:68-133)."""
+    """Packed canonical k-mer -> count mapping (reference: src/index.rs:68-133).
 
-    def __init__(self, k: KmerLength | int, counts: dict[int, int]):
+    Array-backed: keys live in one sorted uint64 numpy array, values in a
+    parallel array (lookups are binary search). A dict never materializes
+    unless a caller reads the :attr:`counts` compatibility property — for a
+    16M-entry index built from device results that saves seconds and GBs
+    versus a Python dict of boxed ints.
+    """
+
+    def __init__(
+        self,
+        k: KmerLength | int,
+        counts: dict[int, int] | None = None,
+        *,
+        codes: np.ndarray | None = None,
+        values: np.ndarray | None = None,
+    ):
         self._k = k if isinstance(k, KmerLength) else KmerLength(k)
-        self._counts = counts
+        if counts is not None:
+            n = len(counts)
+            c = np.fromiter(counts.keys(), dtype=np.uint64, count=n)
+            v = np.fromiter(counts.values(), dtype=np.uint64, count=n)
+        else:
+            c = np.asarray(codes if codes is not None else [], dtype=np.uint64)
+            v = np.asarray(values if values is not None else [], dtype=np.uint64)
+        if c.shape != v.shape:
+            raise ValueError("codes and values must have equal length")
+        if c.shape[0] and not np.all(c[:-1] <= c[1:]):
+            order = np.argsort(c, kind="stable")
+            c, v = c[order], v[order]
+        self._codes = np.ascontiguousarray(c)
+        self._values = np.ascontiguousarray(v)
+        self._dict: dict[int, int] | None = None
+
+    @classmethod
+    def from_arrays(
+        cls, k: KmerLength | int, codes: np.ndarray, values: np.ndarray
+    ) -> "KmerIndex":
+        """Build directly from (codes, counts) arrays — the device-result path."""
+        return cls(k, codes=codes, values=values)
 
     @property
     def k(self) -> KmerLength:
         return self._k
 
     @property
+    def codes(self) -> np.ndarray:
+        """Sorted uint64 packed keys."""
+        return self._codes
+
+    @property
+    def values(self) -> np.ndarray:
+        """Counts aligned with :attr:`codes`."""
+        return self._values
+
+    @property
     def counts(self) -> dict[int, int]:
-        return self._counts
+        """Dict view (compatibility; materialized lazily, then cached)."""
+        if self._dict is None:
+            self._dict = dict(zip(self._codes.tolist(), self._values.tolist()))
+        return self._dict
 
     def __len__(self) -> int:
-        return len(self._counts)
+        return int(self._codes.shape[0])
 
     def is_empty(self) -> bool:
-        return not self._counts
+        return self._codes.shape[0] == 0
 
     def get(self, packed_bits: int) -> int | None:
         """Look up a canonical packed k-mer; None when absent."""
-        return self._counts.get(packed_bits)
+        i = int(np.searchsorted(self._codes, np.uint64(packed_bits)))
+        if i < self._codes.shape[0] and self._codes[i] == np.uint64(packed_bits):
+            return int(self._values[i])
+        return None
 
     def to_string_counts(self) -> dict[str, int]:
         from .kmer import unpack_many
 
-        codes = np.fromiter(self._counts.keys(), dtype=np.uint64, count=len(self._counts))
-        strings = unpack_many(codes, self._k)
-        return dict(zip(strings, self._counts.values()))
+        strings = unpack_many(self._codes, self._k)
+        return dict(zip(strings, self._values.tolist()))
 
 
 def serialize_index(index: KmerIndex) -> bytes:
     """Serialize to the raw (uncompressed) byte format."""
-    n = len(index.counts)
+    n = len(index)
     body = bytearray(_HEADER.size + 16 * n + 4)
     _HEADER.pack_into(body, 0, MAGIC, VERSION, index.k.get(), n)
     if n:
         pairs = np.empty((n, 2), dtype="<u8")
-        pairs[:, 0] = np.fromiter(index.counts.keys(), dtype=np.uint64, count=n)
-        pairs[:, 1] = np.fromiter(index.counts.values(), dtype=np.uint64, count=n)
-        order = np.argsort(pairs[:, 0], kind="stable")
-        pairs = pairs[order]
+        pairs[:, 0] = index.codes  # already sorted
+        pairs[:, 1] = index.values
         body[_HEADER.size : _HEADER.size + 16 * n] = pairs.tobytes()
     crc = zlib.crc32(bytes(body[:-4])) & 0xFFFFFFFF
     struct.pack_into("<I", body, len(body) - 4, crc)
@@ -120,10 +168,17 @@ def deserialize_index(data: bytes, path: str | None = None) -> KmerIndex:
         pairs = np.frombuffer(
             data, dtype="<u8", count=2 * count, offset=_HEADER.size
         ).reshape(count, 2)
-        counts = dict(zip(pairs[:, 0].tolist(), pairs[:, 1].tolist()))
-    else:
-        counts = {}
-    return KmerIndex(k, counts)
+        codes, values = pairs[:, 0], pairs[:, 1]
+        if count > 1 and not np.all(codes[:-1] < codes[1:]):
+            # unsorted or duplicate keys (we always write sorted-unique, but
+            # the reference accepts any order): last occurrence wins,
+            # matching the reference's HashMap insertion semantics on load
+            counts = dict(zip(codes.tolist(), values.tolist()))
+            return KmerIndex(k, counts)
+        return KmerIndex.from_arrays(k, codes, values)
+    return KmerIndex.from_arrays(
+        k, np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    )
 
 
 def save_index(index: KmerIndex, path: str | os.PathLike) -> None:

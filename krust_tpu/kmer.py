@@ -288,22 +288,42 @@ def encode_bytes(buf: bytes | np.ndarray) -> np.ndarray:
     return BASE_LUT[arr]
 
 
-def unpack_many(codes: np.ndarray, k) -> list[str]:
-    """Unpack a uint64 array of packed k-mers to strings, vectorized.
+def unpack_char_matrix(codes: np.ndarray, k) -> np.ndarray:
+    """Unpack a uint64 array of packed k-mers to an [n, k] ASCII byte matrix.
 
-    This is the bulk output path (device table -> user-facing strings);
-    equivalent of the reference's parallel unpack (reference: src/run.rs:573-583).
+    The fully-vectorized core of the bulk output path: downstream byte
+    assembly (TSV/FASTA emission, string building) consumes the matrix
+    without any per-entry Python (reference's parallel unpack:
+    src/run.rs:573-583).
     """
+    kk = _as_k(k)
+    codes = np.asarray(codes, dtype=np.uint64)
+    out = np.empty((codes.shape[0], kk), np.uint8)
+    fill_kmer_columns(out, 0, codes, kk)
+    return out
+
+
+def fill_kmer_columns(out: np.ndarray, col0: int, codes: np.ndarray, k: int) -> None:
+    """Write k-mer ASCII chars into ``out[:, col0:col0+k]``, column-wise.
+
+    Column-at-a-time keeps peak intermediates at one [n] uint64 lane instead
+    of an [n, k] uint64 broadcast (2.7 GB at 16M x 21 — measured pathological
+    on a small host).
+    """
+    three = np.uint64(3)
+    for j in range(k):
+        shift = np.uint64(2 * (k - 1 - j))
+        out[:, col0 + j] = UNPACK_LUT[((codes >> shift) & three).astype(np.uint8)]
+
+
+def unpack_many(codes: np.ndarray, k) -> list[str]:
+    """Unpack a uint64 array of packed k-mers to strings, vectorized."""
     kk = _as_k(k)
     codes = np.asarray(codes, dtype=np.uint64)
     n = codes.shape[0]
     if n == 0:
         return []
-    shifts = np.arange(kk - 1, -1, -1, dtype=np.uint64) * np.uint64(2)
-    # [n, k] matrix of 2-bit groups -> ASCII bytes -> row strings
-    mat = (codes[:, None] >> shifts[None, :]) & np.uint64(3)
-    chars = UNPACK_LUT[mat.astype(np.uint8)]
-    flat = chars.tobytes()
+    flat = unpack_char_matrix(codes, kk).tobytes()
     return [flat[i * kk : (i + 1) * kk].decode("ascii") for i in range(n)]
 
 

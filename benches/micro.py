@@ -16,14 +16,13 @@ import sys
 import tempfile
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import krust_tpu as kt
-from krust_tpu.io.packer import blockize
-from krust_tpu.io.reader import streams_from_sequences
-from krust_tpu.models.engines import count_stream_numpy
+import numpy as np  # noqa: E402
+
+import krust_tpu as kt  # noqa: E402
+from krust_tpu.io.reader import streams_from_sequences  # noqa: E402
+from krust_tpu.models.engines import count_stream_numpy  # noqa: E402
 
 
 def timeit(label: str, fn, n_iter: int = 100, per: int = 1) -> None:
@@ -92,8 +91,28 @@ def macro() -> None:
         os.unlink(path)
 
 
+def output_path() -> None:
+    """Output formatting throughput (VERDICT r1 #6): bytes straight from
+    (codes, counts) arrays, timed at 4M distinct entries."""
+    from krust_tpu.output import OutputFormat, format_packed_counts
+
+    rng = np.random.default_rng(0)
+    codes = np.unique(rng.integers(0, 1 << 42, size=4_000_000, dtype=np.uint64))
+    counts = rng.integers(1, 100, size=codes.shape[0], dtype=np.uint64)
+    n = codes.shape[0]
+    print(f"== output path: {n} distinct entries ==")
+    for fmt in (OutputFormat.TSV, OutputFormat.FASTA, OutputFormat.HISTOGRAM):
+        timeit(
+            f"format_packed_counts {fmt.value}",
+            lambda fmt=fmt: format_packed_counts(codes, counts, 21, fmt),
+            n_iter=3,
+            per=n,
+        )
+
+
 if __name__ == "__main__":
     if "--device" not in sys.argv:
         os.environ.setdefault("KRUST_PLATFORM", "cpu")
     micro()
     macro()
+    output_path()

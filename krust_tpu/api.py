@@ -53,10 +53,27 @@ def _count_path(
     config: EngineConfig | None = None,
     progress: ProgressCallback | None = None,
 ) -> PackedCounts:
-    """Shared pipeline: read -> parse -> pack -> device count."""
-    kk, streams = _read_streams(path, k, fmt)
+    """Shared pipeline: read -> parse -> pack -> device count.
+
+    With ``config.ingest_chunk_bytes`` set, the input streams through
+    record-aligned chunks instead of one eager whole-file parse — bounded
+    host memory for genome-scale inputs (exact; reference's streaming
+    analogs: src/streaming.rs:513-616).
+    """
+    cfg = config or EngineConfig()
     tracker = ProgressTracker() if progress is not None else None
-    return count_streams(streams, kk, min_quality, config, progress, tracker)
+    if cfg.ingest_chunk_bytes and not cfg.use_numpy_backend:
+        from .io.reader import stream_input_chunks
+        from .models.engines import BatchEngine
+
+        kk = KmerLength(k).get()
+        with span("read_sequences", path=str(path), chunked=True):
+            chunks = stream_input_chunks(path, fmt, cfg.ingest_chunk_bytes)
+            return BatchEngine(cfg).count_chunked(
+                chunks, kk, min_quality, progress, tracker
+            )
+    kk, streams = _read_streams(path, k, fmt)
+    return count_streams(streams, kk, min_quality, cfg, progress, tracker)
 
 
 # --- string-keyed API (reference: src/run.rs) --------------------------------------

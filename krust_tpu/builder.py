@@ -25,7 +25,7 @@ from .histogram import compute_histogram
 from .io.format import SequenceFormat
 from .io.input import Input
 from .kmer import KmerLength
-from .output import OutputFormat, output_counts, output_packed
+from .output import OutputFormat, output_packed
 from .utils.config import EngineConfig
 from .utils.progress import Progress
 

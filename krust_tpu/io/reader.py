@@ -291,6 +291,76 @@ def parse_to_streams(data: bytes, fmt: SequenceFormat) -> ParsedStreams:
     return ParsedStreams(codes, None, n_rec, n_bases)
 
 
+def _record_cut(data: bytes, fmt: SequenceFormat) -> int:
+    """Largest prefix length of ``data`` that ends on a record boundary.
+
+    FASTA: cut before the last ``\\n>`` (the next record's header start).
+    FASTQ: cut after the newline closing the last complete 4-line group.
+    Returns 0 when no complete record boundary exists in ``data``.
+    """
+    if fmt.is_fastq:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        nl = np.flatnonzero(arr == _NL)
+        groups = nl.shape[0] // 4
+        if groups == 0:
+            return 0
+        return int(nl[4 * groups - 1]) + 1
+    i = data.rfind(b"\n>")
+    if i < 0:
+        return 0
+    return i + 1
+
+
+def stream_input_chunks(
+    path: str | os.PathLike | None,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    chunk_bytes: int = 256 << 20,
+):
+    """Yield :class:`ParsedStreams` for consecutive record-aligned chunks.
+
+    Bounded-host-memory ingest for inputs larger than RAM (the reference's
+    true-streaming paths: src/streaming.rs:513-616, 677-789): the file (or
+    gzip stream, or stdin) is read ``chunk_bytes`` at a time, each chunk is
+    cut at the last complete record boundary, and the remainder carries into
+    the next chunk. Records never split, and windows never span records, so
+    feeding the chunks into one table is exactly equivalent to the eager
+    whole-file parse.
+    """
+    resolved = fmt.resolve(path)
+    if path is None:
+        f = sys.stdin.buffer
+        close = False
+    else:
+        try:
+            f = gzip.open(path, "rb") if is_gzip_path(path) else open(path, "rb")
+        except FileNotFoundError:
+            raise
+        except OSError as e:
+            raise ReadError(str(e), str(path)) from e
+        close = True
+    try:
+        carry = b""
+        while True:
+            try:
+                block = f.read(chunk_bytes)
+            except (OSError, EOFError) as e:
+                raise ReadError(str(e), str(path)) from e
+            if not block:
+                if carry:
+                    yield parse_to_streams(carry, resolved)
+                return
+            data = carry + block
+            cut = _record_cut(data, resolved)
+            if cut == 0:
+                carry = data  # record longer than the chunk: keep growing
+                continue
+            yield parse_to_streams(data[:cut], resolved)
+            carry = data[cut:]
+    finally:
+        if close:
+            f.close()
+
+
 def _with_separators(flat: np.ndarray, rec_lens: np.ndarray, sep: int) -> np.ndarray:
     """Insert one ``sep`` byte between consecutive records of ``flat``."""
     n_rec = rec_lens.shape[0]

@@ -27,7 +27,7 @@ from typing import Callable
 import jax
 import numpy as np
 
-from ..io.packer import PackedBatch, pack_buffer
+from ..io.packer import PackedBatch
 from ..io.reader import ParsedStreams
 from ..kmer import INVALID_CODE, unpack_many
 from ..utils.config import EngineConfig
@@ -248,20 +248,23 @@ class NumpyEngine:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "rows", "block_windows", "use_pallas", "sort_output"),
+    static_argnames=("k", "rows", "block_windows", "use_pallas", "mode"),
 )
 def _count_flat_step(
-    packed2, invpos, covered, k, rows, block_windows, use_pallas, sort_output=False
+    packed2, invpos, covered, k, rows, block_windows, use_pallas, mode="raw"
 ):
     """Flat-transfer batch step: the minimum-byte device pipeline.
 
     Unpacks a contiguous 2-bit stream slice, scatters invalid positions,
     blockizes with reshape/slice on device, runs the rolling codec, and masks
-    windows at global index >= ``covered``. Returns raw per-window
-    (hi, lo, weight) with weight 1 for valid windows — deduplication happens
-    entirely in the table's LSM merge, so each window is sorted ~2x total
-    (merge + compaction) instead of 3x (a per-batch count_runs would re-sort
-    what the merge sorts again).
+    windows at global index >= ``covered``. Output by ``mode``:
+
+    - ``"raw"``: per-window (hi, lo, weight) with weight 1 for valid windows
+      (DeviceTable: dedup happens in the LSM merge sorts).
+    - ``"sorted"``: key-sorted part with sentinel padding (KernelTable).
+    - ``"raw_sent"``: UNSORTED (hi, lo) with invalid windows as the
+      (SENT, SENT) key — the EpochTable path; the epoch sort orders
+      everything at once, so the batch step stays codec-only.
     """
     from ..ops.codec import encode_blocks, unpack_flat_blocks
     from ..ops.pallas_codec import encode_blocks_pallas
@@ -272,9 +275,23 @@ def _count_flat_step(
     w = block_windows
     idx = jax.numpy.arange(rows * w, dtype=jax.numpy.int32).reshape(rows, w)
     valid = valid & (idx < covered)
-    if sort_output:
+    if mode == "sorted":
         return _sorted_part(hi, lo, valid)
+    if mode == "raw_sent":
+        return _sentinel_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
+
+
+def _sentinel_part(hi, lo, valid):
+    """Unsorted (hi, lo) with invalid windows keyed (SENT, SENT) — never a
+    canonical code for any k (the all-ones k-mer's RC is all-zeros)."""
+    jnp = jax.numpy
+    sent = jnp.uint32(0xFFFFFFFF)
+    valid = valid.reshape(-1)
+    return (
+        jnp.where(valid, hi.reshape(-1), sent),
+        jnp.where(valid, lo.reshape(-1), sent),
+    )
 
 
 def _sorted_part(hi, lo, valid):
@@ -291,18 +308,21 @@ def _sorted_part(hi, lo, valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "width", "use_pallas", "sort_output")
+    jax.jit, static_argnames=("k", "width", "use_pallas", "mode")
 )
-def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, sort_output=False):
-    """Dense-mask batch step: unpack -> codec -> raw (hi, lo, weight)."""
+def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, mode="raw"):
+    """Dense-mask batch step: unpack -> codec -> per-window output (see
+    :func:`_count_flat_step` for the mode contract)."""
     from ..ops.codec import encode_blocks, unpack_2bit
     from ..ops.pallas_codec import encode_blocks_pallas
 
     codes = unpack_2bit(packed2, badbits, width)
     enc = encode_blocks_pallas if use_pallas else encode_blocks
     hi, lo, valid = enc(codes, k, None, None)
-    if sort_output:
+    if mode == "sorted":
         return _sorted_part(hi, lo, valid)
+    if mode == "raw_sent":
+        return _sentinel_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
 
 
@@ -365,31 +385,27 @@ class BatchEngine:
             packed2, badbits, batch.n_windows, batch.block_windows, batch.width
         )
 
-    def count(
-        self,
-        streams: ParsedStreams,
-        k: int,
-        min_quality: int | None = None,
-        progress: ProgressCallback | None = None,
-        tracker: ProgressTracker | None = None,
-    ) -> PackedCounts:
+    def _make_table(self, k: int):
+        from ..ops.table import DeviceTable, EpochTable, KernelTable
+
+        cfg = self.config
+        if cfg.use_epoch_sort:
+            return "raw_sent", EpochTable(k, interpret=not _pallas_available())
+        if cfg.use_merge_kernel:
+            return "sorted", KernelTable(k, interpret=not _pallas_available())
+        return "raw", DeviceTable(k)
+
+    def _feed_streams(
+        self, streams, k, min_quality, table, mode, epochs, on_windows
+    ) -> None:
+        """Feed one parsed stream's batches into ``table`` (shared by the
+        eager and chunked ingest paths)."""
         from ..io.packer import flat_batches, pack_buffer_2bit
-        from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable, KernelTable
+        from ..ops.table import EPOCH_WINDOW_LIMIT
 
         cfg = self.config
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
-        use_kernel = cfg.use_merge_kernel
-        if use_kernel:
-            table = KernelTable(k, interpret=not _pallas_available())
-        else:
-            table = DeviceTable(k)
         use_pallas = cfg.use_pallas and _pallas_available()
-        epochs: list[tuple[np.ndarray, np.ndarray]] = []
-        total_windows = max(streams.codes.shape[0] - k + 1, 0)
-        pacer = _ProgressPacer(
-            tracker, progress, streams.n_records, streams.n_bases, total_windows
-        )
-
         qual_stream = streams.qual if thr is not None else None
         flat = (
             flat_batches(
@@ -405,7 +421,7 @@ class BatchEngine:
                 if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                     epochs.append(table.finalize())  # uint32 headroom exhausted
                 with span("encode_count_batch", rows=batch.rows):
-                    u_hi, u_lo, u_cnt = _count_flat_step(
+                    out = _count_flat_step(
                         jax.numpy.asarray(batch.packed2),
                         jax.numpy.asarray(batch.invpos),
                         np.int32(batch.covered),
@@ -413,10 +429,13 @@ class BatchEngine:
                         batch.rows,
                         batch.block_windows,
                         use_pallas,
-                        use_kernel,
+                        mode,
                     )
-                    table.add(u_hi, u_lo, u_cnt, batch_windows)
-                pacer.step(batch.covered)
+                    if len(out) == 2:
+                        table.add(out[0], out[1], None, batch_windows)
+                    else:
+                        table.add(out[0], out[1], out[2], batch_windows)
+                on_windows(batch.covered)
         else:  # dense path: invalid/quality-masked bases too numerous
             batches = pack_buffer_2bit(
                 streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
@@ -427,18 +446,22 @@ class BatchEngine:
                 if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                     epochs.append(table.finalize())
                 with span("encode_count_batch", rows=batch.packed2.shape[0]):
-                    u_hi, u_lo, u_cnt = _dense_raw_step(
+                    out = _dense_raw_step(
                         jax.numpy.asarray(batch.packed2),
                         jax.numpy.asarray(batch.badbits),
                         k,
                         batch.width,
                         use_pallas,
-                        use_kernel,
+                        mode,
                     )
-                    table.add(u_hi, u_lo, u_cnt, batch_windows)
-                pacer.step(batch.n_windows)
-        pacer.finish()
-        epochs.append(table.finalize())
+                    if len(out) == 2:
+                        table.add(out[0], out[1], None, batch_windows)
+                    else:
+                        table.add(out[0], out[1], out[2], batch_windows)
+                on_windows(batch.n_windows)
+
+    @staticmethod
+    def _merge_epochs(epochs, k) -> PackedCounts:
         if len(epochs) == 1:
             codes64, counts64 = epochs[0]  # already sorted and distinct
         else:
@@ -447,6 +470,56 @@ class BatchEngine:
             )
         trace_event("unpack_kmers", unique_kmers=int(codes64.shape[0]))
         return PackedCounts(k, codes64, counts64)
+
+    def count(
+        self,
+        streams: ParsedStreams,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        mode, table = self._make_table(k)
+        epochs: list[tuple[np.ndarray, np.ndarray]] = []
+        total_windows = max(streams.codes.shape[0] - k + 1, 0)
+        pacer = _ProgressPacer(
+            tracker, progress, streams.n_records, streams.n_bases, total_windows
+        )
+        self._feed_streams(
+            streams, k, min_quality, table, mode, epochs, pacer.step
+        )
+        pacer.finish()
+        epochs.append(table.finalize())
+        return self._merge_epochs(epochs, k)
+
+    def count_chunked(
+        self,
+        chunks,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        """Count an iterator of :class:`ParsedStreams` chunks as one input.
+
+        The bounded-host-memory ingest path (reference's true-streaming
+        engines: src/streaming.rs:513-616): each chunk is parsed, fed, and
+        released before the next is read, so host RSS stays at
+        O(chunk + device tables) regardless of input size. Exact: chunks cut
+        at record boundaries, and the table accumulates across chunks.
+        """
+        mode, table = self._make_table(k)
+        epochs: list[tuple[np.ndarray, np.ndarray]] = []
+        for streams in chunks:
+            self._feed_streams(
+                streams, k, min_quality, table, mode, epochs, lambda w: None
+            )
+            if tracker is not None:
+                tracker.record_batch(streams.n_records, streams.n_bases)
+                if progress is not None:
+                    progress(tracker.snapshot())
+        epochs.append(table.finalize())
+        return self._merge_epochs(epochs, k)
 
 
 # --- sequential engine -------------------------------------------------------------

@@ -32,12 +32,24 @@ class EngineConfig:
     #: use the Pallas TPU kernel for the rolling codec when available
     use_pallas: bool = True
 
+    #: use the epoch-sort table (the round-2 counting core): batches append
+    #: raw sentinel-keyed windows; one flat XLA sort per ~240M-entry epoch
+    #: plus the fused RLE/compaction Pallas kernel replace the sort-heavy
+    #: per-compaction merges. Exact; differentially tested. Falls back to
+    #: interpret-mode kernels off-TPU.
+    use_epoch_sort: bool = True
+
     #: use the merge-path Pallas kernel table: per-batch key sorts feed
-    #: O(n) pairwise merges instead of O(n log^2 n) re-sorts (experimental;
-    #: exact — differentially tested against the default table)
+    #: O(n) pairwise merges instead of O(n log^2 n) re-sorts (superseded by
+    #: use_epoch_sort; kept as a differential-testing configuration)
     use_merge_kernel: bool = False
 
     #: use the flat minimal-byte transfer path (2-bit stream slices + sparse
     #: invalid positions) when invalid bases are sparse; falls back to the
     #: dense badbits path automatically for dirty inputs
     use_flat: bool = True
+
+    #: when set, file/stdin inputs stream through record-aligned chunks of
+    #: this many bytes instead of one eager whole-file parse — bounded host
+    #: memory for inputs larger than RAM (None = eager, the default)
+    ingest_chunk_bytes: int | None = None

@@ -1,0 +1,116 @@
+"""Chunked (bounded-memory) ingest: exactness vs the eager path.
+
+Reference analog: the true-streaming engines (src/streaming.rs:513-616).
+"""
+
+import gzip
+import random
+
+import numpy as np
+import pytest
+
+from krust_tpu.api import _count_path
+from krust_tpu.io.format import SequenceFormat
+from krust_tpu.io.reader import stream_input_chunks
+from krust_tpu.models.engines import BatchEngine
+from krust_tpu.utils.config import EngineConfig
+
+import oracle
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n")
+            # multi-line records exercise the FASTA cut logic
+            for j in range(0, len(s), 37):
+                f.write(s[j : j + 37] + "\n")
+
+
+def _write_fastq(path, seqs, qual_char="I"):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{qual_char * len(s)}\n")
+
+
+@pytest.fixture
+def seqs():
+    rng = random.Random(11)
+    return [oracle.random_dna(rng, rng.randint(0, 400), "ACGTN") for _ in range(60)]
+
+
+@pytest.mark.parametrize("chunk_bytes", [64, 700, 1 << 20])
+def test_fasta_chunked_equals_eager(tmp_path, seqs, chunk_bytes):
+    p = tmp_path / "big.fa"
+    _write_fasta(p, seqs)
+    eager = _count_path(p, 7)
+    chunked = _count_path(
+        p, 7, config=EngineConfig(ingest_chunk_bytes=chunk_bytes)
+    )
+    assert np.array_equal(eager.codes, chunked.codes)
+    assert np.array_equal(eager.counts, chunked.counts)
+
+
+@pytest.mark.parametrize("chunk_bytes", [64, 1500])
+def test_fastq_chunked_equals_eager(tmp_path, seqs, chunk_bytes):
+    p = tmp_path / "big.fq"
+    _write_fastq(p, seqs)
+    eager = _count_path(p, 9, min_quality=20)
+    chunked = _count_path(
+        p, 9, min_quality=20, config=EngineConfig(ingest_chunk_bytes=chunk_bytes)
+    )
+    assert np.array_equal(eager.codes, chunked.codes)
+    assert np.array_equal(eager.counts, chunked.counts)
+
+
+def test_gzip_chunked(tmp_path, seqs):
+    p = tmp_path / "big.fa.gz"
+    raw = []
+    for i, s in enumerate(seqs):
+        raw.append(f">r{i}\n{s}\n")
+    with gzip.open(p, "wt") as f:
+        f.write("".join(raw))
+    eager = _count_path(p, 5)
+    chunked = _count_path(p, 5, config=EngineConfig(ingest_chunk_bytes=512))
+    assert np.array_equal(eager.codes, chunked.codes)
+    assert np.array_equal(eager.counts, chunked.counts)
+
+
+def test_record_longer_than_chunk(tmp_path):
+    # one 5 kb record with 64-byte chunks: the carry must grow until EOF
+    rng = random.Random(3)
+    seq = oracle.random_dna(rng, 5000, "ACGT")
+    p = tmp_path / "one.fa"
+    _write_fasta(p, [seq, "ACGTACGT"])
+    eager = _count_path(p, 11)
+    chunked = _count_path(p, 11, config=EngineConfig(ingest_chunk_bytes=64))
+    assert np.array_equal(eager.codes, chunked.codes)
+    assert np.array_equal(eager.counts, chunked.counts)
+
+
+def test_chunk_boundaries_are_record_aligned(tmp_path, seqs):
+    p = tmp_path / "rec.fa"
+    _write_fasta(p, seqs)
+    total_records = 0
+    total_bases = 0
+    for streams in stream_input_chunks(p, SequenceFormat.AUTO, 256):
+        total_records += streams.n_records
+        total_bases += streams.n_bases
+    assert total_records == len(seqs)
+    assert total_bases == sum(len(s) for s in seqs)
+
+
+def test_progress_fires_per_chunk(tmp_path, seqs):
+    from krust_tpu.utils.progress import ProgressTracker
+
+    p = tmp_path / "prog.fa"
+    _write_fasta(p, seqs)
+    snaps = []
+    chunks = stream_input_chunks(p, SequenceFormat.AUTO, 512)
+    BatchEngine(EngineConfig()).count_chunked(
+        chunks, 5, progress=snaps.append, tracker=ProgressTracker()
+    )
+    assert len(snaps) >= 2
+    assert snaps[-1].sequences_processed == len(seqs)
+    bases = [s.bases_processed for s in snaps]
+    assert bases == sorted(bases)

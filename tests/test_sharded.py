@@ -102,3 +102,90 @@ def test_multibatch_sharded(eight_devices):
     cfg = EngineConfig(block_windows=64, batch_rows=8)
     got = count_sharded(streams, k, mesh=make_mesh(8), config=cfg)
     assert to_dict(got) == expected
+
+
+class TestExchangeOverflow:
+    """Both branches of the exchange retry ladder (parallel/sharded.py).
+
+    A hash-skewed key set (every key owned by destination 0) overflows the
+    first-pass per-destination capacity; the escalated retry must succeed
+    with exact results, and an insufficient ladder must raise
+    CapacityOverflow naming its final factor.
+    """
+
+    def _skewed_entries(self, n_dev, per_chip, want):
+        """Random (hi, lo) uint32 pairs all hashing to owner 0."""
+        from krust_tpu.parallel import sharded as sh
+
+        rng = np.random.default_rng(9)
+        out_hi, out_lo = [], []
+        need = n_dev * per_chip
+        while need > 0:
+            hi = rng.integers(0, 1 << 10, 200_000, np.uint32)
+            lo = rng.integers(0, 1 << 32, 200_000, np.uint64).astype(np.uint32)
+            h = (hi * sh._MIX1) ^ (lo * sh._MIX2)
+            h = h ^ (h >> np.uint32(16))
+            h = h * sh._MIX1
+            h = h ^ (h >> np.uint32(13))
+            keep = (h % np.uint32(n_dev)) == want
+            out_hi.append(hi[keep])
+            out_lo.append(lo[keep])
+            need -= int(keep.sum())
+        hi = np.concatenate(out_hi)[: n_dev * per_chip]
+        lo = np.concatenate(out_lo)[: n_dev * per_chip]
+        # unique within each chip row so entries are table-like (dedup'd)
+        return hi.reshape(n_dev, per_chip), lo.reshape(n_dev, per_chip)
+
+    def _make_table(self, mesh, n_dev, per_chip):
+        import jax.numpy as jnp
+
+        from krust_tpu.parallel.sharded import ShardedTable
+
+        hi, lo = self._skewed_entries(n_dev, per_chip, want=0)
+        cnt = np.ones((n_dev, per_chip), np.uint32)
+        table = ShardedTable(21, mesh)
+        table.add(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt), per_chip)
+        expected = {}
+        for h, l in zip(hi.reshape(-1).tolist(), lo.reshape(-1).tolist()):
+            expected[(h << 32) | l] = expected.get((h << 32) | l, 0) + 1
+        return table, expected
+
+    def test_retry_succeeds_after_first_pass_overflow(self, eight_devices, monkeypatch):
+        from krust_tpu.parallel import sharded as sh
+
+        mesh = make_mesh(8)
+        # 768 skewed entries/chip: first-pass cap ~ ceil(L/8)*4 < entries to
+        # dest 0, escalated cap clamps to the full row and succeeds
+        table, expected = self._make_table(mesh, 8, 768)
+
+        calls = []
+        real = sh._exchange_sharded
+
+        def spy(*args, **kw):
+            calls.append(args[-1])  # cap is the last positional (static) arg
+            return real(*args, **kw)
+
+        monkeypatch.setattr(sh, "_exchange_sharded", spy)
+        m_hi, m_lo, m_cnt, n_m = table.exchange(capacity_factor=4)
+        assert len(calls) == 2, "first pass must overflow, retry must run"
+        assert calls[1] > calls[0]
+
+        got = {}
+        n_m = np.asarray(n_m)
+        m_hi, m_lo, m_cnt = map(np.asarray, (m_hi, m_lo, m_cnt))
+        for d in range(8):
+            nd = int(n_m[d])
+            for h, l, c in zip(
+                m_hi[d, :nd].tolist(), m_lo[d, :nd].tolist(), m_cnt[d, :nd].tolist()
+            ):
+                got[(h << 32) | l] = got.get((h << 32) | l, 0) + c
+        assert got == expected
+
+    def test_capacity_overflow_raises_with_final_factor(self, eight_devices):
+        from krust_tpu.parallel.sharded import CapacityOverflow
+
+        mesh = make_mesh(8)
+        table, _ = self._make_table(mesh, 8, 768)
+        # ladder (1, 4): final cap = ceil(L/8)*4 = L/2 < skewed load -> raise
+        with pytest.raises(CapacityOverflow, match="4x"):
+            table.exchange(capacity_factor=1)

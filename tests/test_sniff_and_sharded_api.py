@@ -23,8 +23,15 @@ class TestFromContent:
             is SequenceFormat.FASTQ
         )
 
-    def test_leading_whitespace_skipped(self):
-        assert SequenceFormat.from_content(b"\n\r\t >x\n") is SequenceFormat.FASTA
+    def test_leading_newlines_skipped(self):
+        # only line terminators may precede the header byte — the parsers
+        # require '>'/'@' at line start, so ' >x' must NOT sniff as FASTA
+        # (advisor r1 finding)
+        assert SequenceFormat.from_content(b"\n\r\n>x\n") is SequenceFormat.FASTA
+        with pytest.raises(ValueError):
+            SequenceFormat.from_content(b" >x\n")
+        with pytest.raises(ValueError):
+            SequenceFormat.from_content(b"\t@x\n")
 
     def test_garbage_rejected(self):
         with pytest.raises(ValueError):

@@ -149,14 +149,17 @@ def _merge_sharded(hi, lo, cnt, k, mesh):
         m_hi, m_lo, m_cnt, n_m = merge_runs(
             hi_l.reshape(-1), lo_l.reshape(-1), cnt_l.reshape(-1), k
         )
-        return m_hi[None], m_lo[None], m_cnt[None], n_m[None]
+        # replicated max: multi-process hosts can read it without owning
+        # every shard (np.asarray on a partially-addressable array raises)
+        n_max = jax.lax.pmax(n_m, DATA_AXIS)
+        return m_hi[None], m_lo[None], m_cnt[None], n_max
 
     spec = P(DATA_AXIS, None)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(spec,) * 3,
-        out_specs=(spec, spec, spec, P(DATA_AXIS)),
+        out_specs=(spec, spec, spec, P()),
         check_vma=False,
     )(hi, lo, cnt)
 
@@ -214,16 +217,29 @@ def _exchange_sharded(hi, lo, cnt, k, mesh, cap):
             n_dev=n_dev,
             cap=cap,
         )
-        return m_hi[None], m_lo[None], m_cnt[None], n_m[None], ovf[None]
+        ovf_any = jax.lax.pmax(ovf.astype(jnp.int32), DATA_AXIS)
+        return m_hi[None], m_lo[None], m_cnt[None], n_m[None], ovf_any
 
     spec = P(DATA_AXIS, None)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(spec,) * 3,
-        out_specs=(spec, spec, spec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(spec, spec, spec, P(DATA_AXIS), P()),
         check_vma=False,
     )(hi, lo, cnt)
+
+
+def _empty_dense(r_local: int, width: int, w: int, has_qual: bool):
+    """Fully-masked dummy dense batch (multi-process lockstep filler)."""
+    from ..io.packer import PackedBatch
+
+    return PackedBatch(
+        np.full((r_local, width), INVALID_CODE, np.uint8),
+        np.full((r_local, width), 0xFF, np.uint8) if has_qual else None,
+        0,
+        w,
+    )
 
 
 class CapacityOverflow(RuntimeError):
@@ -252,7 +268,8 @@ class ShardedTable(DeviceTable):
         return _merge_sharded(hi, lo, cnt, self._k, self._mesh)
 
     def _read_n(self, n_dev) -> int:
-        return int(np.asarray(n_dev).max())
+        # _merge_sharded returns the replicated per-chip max directly
+        return int(np.asarray(n_dev))
 
     def finalize(self):  # pragma: no cover - guard against misuse
         raise NotImplementedError("use exchange() + host gather for sharded tables")
@@ -282,7 +299,7 @@ class ShardedTable(DeviceTable):
                 m_hi, m_lo, m_cnt, n_m, ovf = _exchange_sharded(
                     t_hi, t_lo, t_cnt, self._k, self._mesh, cap
                 )
-            if not bool(np.asarray(ovf).any()):
+            if not bool(np.asarray(ovf)):
                 break
         self._table = None
         self._table_entries = 0
@@ -325,16 +342,58 @@ def count_sharded(
         if result is None:
             return
         m_hi, m_lo, m_cnt, n_m = result
-        n_m = np.asarray(n_m)
-        m_hi = np.asarray(m_hi, dtype=np.uint64)
-        m_lo = np.asarray(m_lo, dtype=np.uint64)
-        m_cnt = np.asarray(m_cnt, dtype=np.uint64)
-        for d in range(n_dev):
-            nd = int(n_m[d])
+        # per-process extraction: read only the shards this process owns
+        # (single-host: all of them). Hash ranges are disjoint, so every
+        # process accumulates exactly its devices' final table rows.
+        n_by_dev = {
+            s.index[0].start or 0: int(np.asarray(s.data)[0])
+            for s in n_m.addressable_shards
+        }
+        rows = {}
+        for name, arr in (("hi", m_hi), ("lo", m_lo), ("cnt", m_cnt)):
+            for s in arr.addressable_shards:
+                rows.setdefault(s.index[0].start or 0, {})[name] = np.asarray(
+                    s.data
+                )[0]
+        for d, r in rows.items():
+            nd = n_by_dev[d]
             if nd:
                 acc.add(
-                    (m_hi[d, :nd] << np.uint64(32)) | m_lo[d, :nd], m_cnt[d, :nd]
+                    (r["hi"][:nd].astype(np.uint64) << np.uint64(32))
+                    | r["lo"][:nd],
+                    r["cnt"][:nd].astype(np.uint64),
                 )
+
+    procs = jax.process_count()
+    if n_dev % max(procs, 1):
+        raise ValueError(
+            f"mesh devices ({n_dev}) must divide evenly across "
+            f"{procs} processes"
+        )
+    n_group = n_dev // procs  # chips fed by THIS process
+
+    def put_rows(local, global_rows):
+        """Place process-local rows into the globally row-sharded array."""
+        if procs == 1:
+            return jax.device_put(local, sharding)
+        shape = (global_rows,) + local.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, local, shape)
+
+    def put_vec(local):
+        s = NamedSharding(mesh, P(DATA_AXIS))
+        if procs == 1:
+            return jax.device_put(local, s)
+        return jax.make_array_from_process_local_data(s, local, (n_dev,))
+
+    def sync_max(value: int) -> int:
+        """Max of an int across processes (no-op single-process)."""
+        if procs == 1:
+            return value
+        from jax.experimental import multihost_utils
+
+        return int(
+            multihost_utils.process_allgather(np.array([value])).max()
+        )
 
     # per-chip rows per super-batch: largest power of two keeping the total
     # around cfg.batch_rows
@@ -349,16 +408,55 @@ def count_sharded(
         if cfg.use_flat
         else None
     )
+    # multi-process: every process must drive the SAME collective sequence
+    # (lockstep), so group counts sync to the global max and short processes
+    # feed zero-covered dummy groups. Window accounting uses the GLOBAL
+    # per-super-batch count so epoch flushes trigger identically everywhere.
     if flat is not None:
         w = cfg.block_windows
-        for p2, iv, cov, batch_windows in _flat_groups(
-            flat, n_dev, r_chip, w, k
-        ):
+        seg_bases = r_chip * w + k - 1
+        seg_bytes = -(-seg_bases // 4)
+        groups = _flat_groups(flat, n_group, r_chip, w, k)
+        if procs > 1:
+            from jax.experimental import multihost_utils
+
+            # lockstep: materialize, sync the group count, agree on invpos
+            # widths (single-process stays lazy — no materialization)
+            glist = list(groups)
+            n_groups = sync_max(len(glist))
+            pc = np.full(n_groups, 8, np.int64)
+            for i, g in enumerate(glist):
+                pc[i] = g[1].shape[1]
+            pcaps = multihost_utils.process_allgather(pc)
+            pcaps = pcaps.reshape(procs, n_groups).max(axis=0)
+
+            def mp_groups():
+                for gi in range(n_groups):
+                    if gi < len(glist):
+                        p2, iv, cov, _ = glist[gi]
+                        if iv.shape[1] != int(pcaps[gi]):
+                            pad = np.full(
+                                (n_group, int(pcaps[gi]) - iv.shape[1]),
+                                seg_bases,
+                                np.int32,
+                            )
+                            iv = np.concatenate([iv, pad], axis=1)
+                    else:  # dummy lockstep group: fully masked
+                        p2 = np.zeros((n_group, seg_bytes), np.uint8)
+                        iv = np.full(
+                            (n_group, int(pcaps[gi])), seg_bases, np.int32
+                        )
+                        cov = np.zeros(n_group, np.int32)
+                    yield p2, iv, cov, 0
+
+            groups = mp_groups()
+        batch_windows = n_dev * r_chip * w  # global, identical on all hosts
+        for p2, iv, cov, _ in groups:
             if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                 flush_epoch()  # uint32 count headroom exhausted
-            p2_d = jax.device_put(p2, sharding)
-            iv_d = jax.device_put(iv, sharding)
-            cov_d = jax.device_put(cov, NamedSharding(mesh, P(DATA_AXIS)))
+            p2_d = put_rows(p2, n_dev)
+            iv_d = put_rows(iv, n_dev)
+            cov_d = put_vec(cov)
             with span("sharded_encode", rows=n_dev * r_chip, devices=n_dev):
                 hi, lo, cnt = _encode_flat_sharded(
                     p2_d, iv_d, cov_d, k, r_chip, w, mesh
@@ -366,36 +464,46 @@ def count_sharded(
             table.add(hi, lo, cnt, batch_windows)
             pacer.step(int(cov.sum()))
     else:  # dense fallback: dirty input or flat-ineligible config
-        batches = pack_buffer(
-            streams.codes,
-            qual_stream,
-            k,
-            cfg.block_windows,
-            cfg.batch_rows,
-        )
+        w = cfg.block_windows
+        width = w + k - 1
+        r_local = -(-cfg.batch_rows // n_group) * n_group
+        has_qual = qual_stream is not None
+        batches = pack_buffer(streams.codes, qual_stream, k, w, r_local)
+        if procs > 1:
+            blist = list(batches)
+            n_batches = sync_max(len(blist))
+
+            def mp_batches():
+                for bi in range(n_batches):
+                    if bi < len(blist):
+                        yield blist[bi]
+                    else:  # dummy lockstep batch: fully masked
+                        yield _empty_dense(r_local, width, w, has_qual)
+
+            batches = mp_batches()
+        batch_windows = procs * r_local * w
         for batch in batches:
             codes, qual = batch.codes, batch.qual
-            rows = codes.shape[0]
-            if rows % n_dev:
-                pad = n_dev - rows % n_dev
+            covered = batch.n_windows
+            if codes.shape[0] != r_local:  # fixed shape across processes
+                pad = r_local - codes.shape[0]
                 codes = np.vstack(
-                    [codes, np.full((pad, codes.shape[1]), INVALID_CODE, np.uint8)]
+                    [codes, np.full((pad, width), INVALID_CODE, np.uint8)]
                 )
                 if qual is not None:
                     qual = np.vstack(
-                        [qual, np.full((pad, qual.shape[1]), 0xFF, np.uint8)]
+                        [qual, np.full((pad, width), 0xFF, np.uint8)]
                     )
-
-            batch_windows = codes.shape[0] * batch.block_windows
+            elif codes.shape[0] > r_local:
+                raise AssertionError("pack_buffer exceeded batch rows")
             if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                 flush_epoch()
-
-            codes_d = jax.device_put(codes, sharding)
-            qual_d = jax.device_put(qual, sharding) if qual is not None else None
+            codes_d = put_rows(codes, procs * r_local)
+            qual_d = put_rows(qual, procs * r_local) if qual is not None else None
             with span("sharded_encode", rows=codes.shape[0], devices=n_dev):
                 hi, lo, cnt = _encode_sharded(codes_d, qual_d, k, thr, mesh)
             table.add(hi, lo, cnt, batch_windows)
-            pacer.step(batch.n_windows)
+            pacer.step(covered)
 
     pacer.finish()
     flush_epoch()

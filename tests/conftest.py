@@ -12,9 +12,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["KRUST_PLATFORM"] = "cpu"
-# small merge-kernel geometry: interpret-mode tests of the Pallas merge ops
+# small kernel geometry: interpret-mode tests of the Pallas merge/RLE ops
 # run networks in pure Python; the production default (16384) is TPU-sized
 os.environ.setdefault("KRUST_MERGE_CHUNK", "2048")
+os.environ.setdefault("KRUST_RLE_CHUNK", "1024")
 
 import jax
 

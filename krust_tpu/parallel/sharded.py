@@ -230,6 +230,64 @@ def _exchange_sharded(hi, lo, cnt, k, mesh, cap):
     )(hi, lo, cnt)
 
 
+@jax.jit
+def _sentinelize(hi, lo, cnt):
+    """Weight-1/0 encode output -> raw sentinel-keyed windows."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    live = cnt > 0
+    return jnp.where(live, hi, sent), jnp.where(live, lo, sent)
+
+
+@functools.partial(jax.jit, static_argnames=("one_key", "interpret", "mesh"))
+def _epoch_sort_rle_sharded(hi, lo, one_key, interpret, mesh):
+    """Per-chip epoch flush inside shard_map: local sort + RLE/compaction.
+
+    Inputs are [n_dev, L] raw sentinel-keyed windows; every chip sorts and
+    compacts its own shard with the same kernels as the single-device
+    EpochTable (no collectives). Returns ([n_dev, L] hi/lo/cnt compacted,
+    replicated max n).
+    """
+    from ..ops.table import _epoch_sort_rle
+
+    def local_fn(hi_l, lo_l):
+        o_hi, o_lo, o_cnt, n = _epoch_sort_rle(
+            hi_l.reshape(-1), lo_l.reshape(-1), one_key, interpret
+        )
+        return o_hi[None], o_lo[None], o_cnt[None], jax.lax.pmax(n, DATA_AXIS)
+
+    spec = P(DATA_AXIS, None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )(hi, lo)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "mesh"))
+def _merge_compact_sharded(a, b, interpret, mesh):
+    """Per-chip merge of two compacted parts + re-compaction (no collectives)."""
+    from ..ops.table import _merge_compact
+
+    def local_fn(ah, al, ac, bh, bl, bc):
+        o_hi, o_lo, o_cnt, n = _merge_compact(
+            (ah.reshape(-1), al.reshape(-1), ac.reshape(-1)),
+            (bh.reshape(-1), bl.reshape(-1), bc.reshape(-1)),
+            interpret,
+        )
+        return o_hi[None], o_lo[None], o_cnt[None], jax.lax.pmax(n, DATA_AXIS)
+
+    spec = P(DATA_AXIS, None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )(*a, *b)
+
+
 def _empty_dense(r_local: int, width: int, w: int, has_qual: bool):
     """Fully-masked dummy dense batch (multi-process lockstep filler)."""
     from ..io.packer import PackedBatch
@@ -307,6 +365,87 @@ class ShardedTable(DeviceTable):
         return m_hi, m_lo, m_cnt, n_m
 
 
+class EpochShardedTable(ShardedTable):
+    """Per-chip epoch-sort tables (the sharded twin of ops/table.EpochTable).
+
+    Batches append RAW sentinel-keyed [n_dev, L] windows; per epoch, every
+    chip flat-sorts + RLE-compacts its shard locally (shard_map, zero
+    collectives), and compacted parts merge per chip with the merge-path
+    kernel. Only :meth:`exchange` communicates — one hash-sharded
+    all-to-all on the deduplicated tables, unchanged from ShardedTable.
+    """
+
+    def __init__(self, k: int, mesh: Mesh, max_parts: int = 8, interpret: bool = False):
+        super().__init__(k, mesh, max_parts)
+        self._interpret = interpret
+        self._raw: list[tuple[jax.Array, jax.Array]] = []
+        self._raw_pending = 0  # per-chip entries
+        self._compacted: list[tuple] = []
+
+    def add(self, u_hi, u_lo, u_cnt, n_windows: int):
+        from ..ops.table import EPOCH_ENTRY_LIMIT
+
+        u_hi, u_lo = _sentinelize(u_hi, u_lo, u_cnt)
+        self._raw.append((u_hi, u_lo))
+        self._raw_pending += u_hi.shape[1]
+        self.windows_this_epoch += n_windows
+        n_dev = self._mesh.shape[DATA_AXIS]
+        if self._raw_pending >= max(EPOCH_ENTRY_LIMIT // n_dev, 1 << 20):
+            self._flush_raw()
+
+    def _flush_raw(self) -> None:
+        if not self._raw:
+            return
+        hi = jnp.concatenate([p[0] for p in self._raw], axis=1)
+        lo = jnp.concatenate([p[1] for p in self._raw], axis=1)
+        self._raw = []
+        self._raw_pending = 0
+        o_hi, o_lo, o_cnt, n_dev_max = _epoch_sort_rle_sharded(
+            hi, lo, self._k <= 15, self._interpret, self._mesh
+        )
+        n = int(np.asarray(n_dev_max))
+        keep = min(round_pow2(max(n, 1)), o_hi.shape[1])
+        self._compacted.append(
+            (o_hi[:, :keep], o_lo[:, :keep], o_cnt[:, :keep])
+        )
+        if len(self._compacted) > self._max_parts:
+            self._merge_compacted()
+
+    def _merge_compacted(self) -> None:
+        runs = self._compacted
+        while len(runs) > 1:
+            nxt = []
+            for i in range(0, len(runs) - 1, 2):
+                o_hi, o_lo, o_cnt, n_dev_max = _merge_compact_sharded(
+                    runs[i], runs[i + 1], self._interpret, self._mesh
+                )
+                n = int(np.asarray(n_dev_max))
+                keep = min(round_pow2(max(n, 1)), o_hi.shape[1])
+                nxt.append((o_hi[:, :keep], o_lo[:, :keep], o_cnt[:, :keep]))
+            if len(runs) % 2:
+                nxt.append(runs[-1])
+            runs = nxt
+        self._compacted = runs
+
+    def exchange(self, capacity_factor: int = 4):
+        self._flush_raw()
+        self._merge_compacted()
+        if not self._compacted:
+            return None
+        self._table = self._compacted[0]
+        self._compacted = []
+        # delegate to ShardedTable.exchange's retry ladder on the resolved
+        # table (its _compact/_resolve see empty parts and keep _table)
+        return super().exchange(capacity_factor)
+
+    def _reset(self) -> None:
+        super()._reset()
+        self._raw = []
+        self._raw_pending = 0
+        self._compacted = []
+
+
+
 def count_sharded(
     streams: ParsedStreams,
     k: int,
@@ -331,7 +470,12 @@ def count_sharded(
 
     sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     acc = _HostAccumulator(cfg.host_compact_threshold)
-    table = ShardedTable(k, mesh)
+    if cfg.use_epoch_sort:
+        table = EpochShardedTable(
+            k, mesh, interpret=jax.devices()[0].platform in ("cpu", "gpu")
+        )
+    else:
+        table = ShardedTable(k, mesh)
     total_windows = max(streams.codes.shape[0] - k + 1, 0)
     pacer = _ProgressPacer(
         tracker, progress, streams.n_records, streams.n_bases, total_windows

@@ -3,11 +3,13 @@
 Three interchangeable engines produce identical results (a determinism
 contract tested in tests/test_flat.py and tests/test_sharded.py):
 
-- :class:`BatchEngine` — the TPU path. Haloed block tensors stream to the
-  device in fixed-shape batches; a fused jitted step runs the rolling codec
-  (:mod:`krust_tpu.ops.codec`) and sort-based counting
-  (:mod:`krust_tpu.ops.count`); compacted per-batch uniques merge on host.
-  Replaces the reference's rayon + dashmap engine (reference: src/run.rs:489-583).
+- :class:`BatchEngine` — the TPU path. 2-bit stream slices transfer in
+  fixed-shape batches; a jitted step runs the rolling codec
+  (:mod:`krust_tpu.ops.codec` / Pallas) and emits raw sentinel-keyed
+  windows into the epoch-sort table (:class:`krust_tpu.ops.table.
+  EpochTable`: one flat XLA sort per epoch + the fused RLE/compaction
+  kernel in :mod:`krust_tpu.ops.pallas_rle`). Replaces the reference's
+  rayon + dashmap engine (reference: src/run.rs:489-583).
 - :class:`NumpyEngine` — the same algorithm in pure numpy uint64 on host.
   Fallback when no accelerator is usable, and the differential oracle.
 - :class:`SequentialEngine` — record-at-a-time counting (numpy per record),
@@ -261,7 +263,6 @@ def _count_flat_step(
 
     - ``"raw"``: per-window (hi, lo, weight) with weight 1 for valid windows
       (DeviceTable: dedup happens in the LSM merge sorts).
-    - ``"sorted"``: key-sorted part with sentinel padding (KernelTable).
     - ``"raw_sent"``: UNSORTED (hi, lo) with invalid windows as the
       (SENT, SENT) key — the EpochTable path; the epoch sort orders
       everything at once, so the batch step stays codec-only.
@@ -275,8 +276,6 @@ def _count_flat_step(
     w = block_windows
     idx = jax.numpy.arange(rows * w, dtype=jax.numpy.int32).reshape(rows, w)
     valid = valid & (idx < covered)
-    if mode == "sorted":
-        return _sorted_part(hi, lo, valid)
     if mode == "raw_sent":
         return _sentinel_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
@@ -294,19 +293,6 @@ def _sentinel_part(hi, lo, valid):
     )
 
 
-def _sorted_part(hi, lo, valid):
-    """Key-sorted (hi, lo, weight) run for the merge-kernel table: invalid
-    windows become (SENT, SENT) sentinel pairs at the back. The per-batch
-    sort rides under the next batch's host->device transfer."""
-    jnp = jax.numpy
-    sent = jnp.uint32(0xFFFFFFFF)
-    valid = valid.reshape(-1)
-    key_hi = jnp.where(valid, hi.reshape(-1), sent)
-    key_lo = jnp.where(valid, lo.reshape(-1), sent)
-    w = valid.astype(jnp.uint32)
-    return jax.lax.sort((key_hi, key_lo, w), num_keys=2, is_stable=False)
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "width", "use_pallas", "mode")
 )
@@ -319,8 +305,6 @@ def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, mode="raw"):
     codes = unpack_2bit(packed2, badbits, width)
     enc = encode_blocks_pallas if use_pallas else encode_blocks
     hi, lo, valid = enc(codes, k, None, None)
-    if mode == "sorted":
-        return _sorted_part(hi, lo, valid)
     if mode == "raw_sent":
         return _sentinel_part(hi, lo, valid)
     return hi, lo, valid.astype(jax.numpy.uint32)
@@ -386,13 +370,11 @@ class BatchEngine:
         )
 
     def _make_table(self, k: int):
-        from ..ops.table import DeviceTable, EpochTable, KernelTable
+        from ..ops.table import DeviceTable, EpochTable
 
         cfg = self.config
         if cfg.use_epoch_sort:
             return "raw_sent", EpochTable(k, interpret=not _pallas_available())
-        if cfg.use_merge_kernel:
-            return "sorted", KernelTable(k, interpret=not _pallas_available())
         return "raw", DeviceTable(k)
 
     def _feed_streams(

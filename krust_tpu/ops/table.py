@@ -464,52 +464,3 @@ class EpochTable(DeviceTable):
         self._raw = []
         self._raw_pending = 0
         self._compacted = []
-
-
-class KernelTable(DeviceTable):
-    """DeviceTable whose merges use the merge-path Pallas kernel.
-
-    Parts must arrive KEY-SORTED with invalid entries as (SENT, SENT)
-    sentinel pairs at the back (the engine's sorted step emits this; each
-    per-batch sort hides under the next batch's host->device transfer).
-    Compaction pairwise-merges the sorted runs in O(n) with
-    :func:`~krust_tpu.ops.pallas_merge.merge_sorted_kv` — replacing the
-    O(n log^2 n) re-sort of everything — then run-length counts and
-    compacts the single merged stream (sentinel-padded so the next epoch's
-    merges consume it directly).
-    """
-
-    def __init__(self, k: int = 32, max_parts: int = 8, interpret: bool = False):
-        super().__init__(k, max_parts)
-        self._interpret = interpret  # Pallas interpreter (CPU test meshes)
-
-    def _compact(self):
-        from .pallas_merge import merge_sorted_kv
-
-        self._resolve()
-        if not self._parts:
-            return
-        runs = list(self._parts)
-        if self._table is not None:
-            runs.append(self._table)
-        while len(runs) > 1:
-            nxt = []
-            for i in range(0, len(runs) - 1, 2):
-                a, b = runs[i], runs[i + 1]
-                nxt.append(
-                    merge_sorted_kv(
-                        a[0], a[1], a[2], b[0], b[1], b[2],
-                        interpret=self._interpret,
-                    )
-                )
-            if len(runs) % 2:
-                nxt.append(runs[-1])
-            runs = nxt
-        hi, lo, cnt = runs[0]
-        m_hi, m_lo, m_cnt, n_m = merge_runs_presorted(hi, lo, cnt)
-        self._merge = (m_hi, m_lo, m_cnt)
-        self._merge_n = n_m
-        self._parts = []
-        self._pending = 0
-        self._table = None
-        self._table_entries = 0

@@ -39,11 +39,6 @@ class EngineConfig:
     #: interpret-mode kernels off-TPU.
     use_epoch_sort: bool = True
 
-    #: use the merge-path Pallas kernel table: per-batch key sorts feed
-    #: O(n) pairwise merges instead of O(n log^2 n) re-sorts (superseded by
-    #: use_epoch_sort; kept as a differential-testing configuration)
-    use_merge_kernel: bool = False
-
     #: use the flat minimal-byte transfer path (2-bit stream slices + sparse
     #: invalid positions) when invalid bases are sparse; falls back to the
     #: dense badbits path automatically for dirty inputs

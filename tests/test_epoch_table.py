@@ -1,4 +1,4 @@
-"""Merge-kernel table (use_merge_kernel): differential vs the default engine."""
+"""Epoch-sort table (use_epoch_sort): differential vs oracle and DeviceTable."""
 
 import numpy as np
 import pytest
@@ -17,13 +17,11 @@ def _stream(rng, n, p_invalid=0.0):
 
 
 def _cfg(batch_rows=8):
-    return EngineConfig(
-        block_windows=256, batch_rows=batch_rows, use_merge_kernel=True
-    )
+    return EngineConfig(block_windows=256, batch_rows=batch_rows, use_epoch_sort=True)
 
 
 @pytest.mark.parametrize("k", [1, 5, 15, 16, 17, 21, 31, 32])
-def test_kernel_table_matches_oracle(k):
+def test_epoch_table_matches_oracle(k):
     rng = np.random.default_rng(k + 100)
     codes = _stream(rng, 6000, p_invalid=0.01)
     streams = ParsedStreams(codes, None, 1, codes.shape[0])
@@ -33,7 +31,7 @@ def test_kernel_table_matches_oracle(k):
     assert np.array_equal(got.counts, exp.counts)
 
 
-def test_kernel_table_dense_path():
+def test_epoch_table_dense_path():
     rng = np.random.default_rng(9)
     codes = _stream(rng, 4000, p_invalid=0.2)  # routes to dense badbits path
     streams = ParsedStreams(codes, None, 1, codes.shape[0])
@@ -43,14 +41,14 @@ def test_kernel_table_dense_path():
     assert np.array_equal(got.counts, exp.counts)
 
 
-def test_kernel_table_homopolymer_counts():
+def test_epoch_table_homopolymer_counts():
     codes = np.zeros(70_000, np.uint8)  # one k-mer, count >> 255
     streams = ParsedStreams(codes, None, 1, codes.shape[0])
     res = BatchEngine(_cfg(batch_rows=32)).count(streams, 5)
     assert res.distinct == 1 and int(res.counts[0]) == 70_000 - 4
 
 
-def test_kernel_table_epoch_flush(monkeypatch):
+def test_epoch_table_window_limit_flush(monkeypatch):
     import krust_tpu.ops.table as table_mod
 
     rng = np.random.default_rng(19)
@@ -59,5 +57,32 @@ def test_kernel_table_epoch_flush(monkeypatch):
     exp = NumpyEngine(EngineConfig()).count(streams, 11)
     monkeypatch.setattr(table_mod, "EPOCH_WINDOW_LIMIT", 4096)
     got = BatchEngine(_cfg()).count(streams, 11)
+    assert np.array_equal(got.codes, exp.codes)
+    assert np.array_equal(got.counts, exp.counts)
+
+
+def test_epoch_table_vs_device_table():
+    """The retired-default DeviceTable remains the on-device oracle: both
+    table designs must agree bit-for-bit."""
+    rng = np.random.default_rng(77)
+    codes = _stream(rng, 9000, p_invalid=0.02)
+    streams = ParsedStreams(codes, None, 1, codes.shape[0])
+    a = BatchEngine(EngineConfig(block_windows=256, batch_rows=8, use_epoch_sort=True)).count(streams, 17)
+    b = BatchEngine(EngineConfig(block_windows=256, batch_rows=8, use_epoch_sort=False)).count(streams, 17)
+    assert np.array_equal(a.codes, b.codes)
+    assert np.array_equal(a.counts, b.counts)
+
+
+def test_epoch_table_raw_epoch_entry_flush(monkeypatch):
+    """Force the raw-entry epoch limit so multiple sort+rle flushes and the
+    compacted-part merge path execute."""
+    import krust_tpu.ops.table as table_mod
+
+    monkeypatch.setattr(table_mod, "EPOCH_ENTRY_LIMIT", 2048)
+    rng = np.random.default_rng(5)
+    codes = _stream(rng, 20_000, p_invalid=0.01)
+    streams = ParsedStreams(codes, None, 1, codes.shape[0])
+    got = BatchEngine(_cfg()).count(streams, 13)
+    exp = NumpyEngine(EngineConfig()).count(streams, 13)
     assert np.array_equal(got.codes, exp.codes)
     assert np.array_equal(got.counts, exp.counts)

@@ -31,9 +31,13 @@ def main() -> None:
             _synthesize(path)
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 21
 
-    # small batches: ~0.5M windows per device step, so inputs far larger
-    # than device memory stream through in bounded slices
-    cfg = EngineConfig(block_windows=4096, batch_rows=128)
+    # bounded HOST memory too: ingest_chunk_bytes streams the file through
+    # record-aligned chunks (one shared device table across chunks), so
+    # neither the raw bytes nor the parsed stream ever materialize whole —
+    # inputs far larger than host RAM and device memory both work
+    cfg = EngineConfig(
+        block_windows=4096, batch_rows=128, ingest_chunk_bytes=4 << 20
+    )
     result = count_with_input(Input.from_path(path), k, config=cfg)
     print(f"{result.distinct} distinct {k}-mers, {result.total} total")
 

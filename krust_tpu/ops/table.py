@@ -30,6 +30,7 @@ arbitrarily large inputs (reference saturation contract: src/run.rs:569).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ import numpy as np
 
 from .count import merge_runs, merge_runs_presorted
 from ..utils.numutil import round_pow2 as _round_pow2, round_up as _round_up
+from ..utils.tracing import span, trace_event
 
 #: windows per epoch bound, with headroom below 2^32 (counts are uint32)
 EPOCH_WINDOW_LIMIT = 1 << 31
@@ -117,6 +119,23 @@ def _pull_delta(hi: jax.Array, lo: jax.Array, cnt: jax.Array, cap: int):
 @functools.partial(jax.jit, static_argnames=())
 def _gather_u32(arr: jax.Array, idx: jax.Array):
     return jnp.take(arr, idx, mode="clip")
+
+
+def _pull_host(arr: jax.Array) -> np.ndarray:
+    """Device -> host pull, optionally in fixed-size slices.
+
+    KRUST_PULL_CHUNK_MB chunks the transfer (some tunneled PJRT backends
+    degrade sharply on large single transfers); unset/0 = one transfer.
+    """
+    mb = int(os.environ.get("KRUST_PULL_CHUNK_MB", "0"))
+    if not mb:
+        return np.asarray(arr)
+    step = max((mb << 20) // max(arr.dtype.itemsize, 1), 1)
+    if arr.shape[0] <= step:
+        return np.asarray(arr)
+    return np.concatenate(
+        [np.asarray(arr[i : i + step]) for i in range(0, arr.shape[0], step)]
+    )
 
 
 class DeviceTable:
@@ -290,7 +309,7 @@ class DeviceTable:
         return np.asarray(_gather_u32(arr, jnp.asarray(full)))[: idx.shape[0]]
 
     def _finalize_delta(self, t_hi, t_lo, t_cnt, n, cap):
-        buf = np.asarray(_pull_delta(t_hi, t_lo, t_cnt, cap))
+        buf = _pull_host(_pull_delta(t_hi, t_lo, t_cnt, cap))
         db = buf[: 3 * cap].reshape(cap, 3)[:n].astype(np.uint32)
         cnt8 = buf[3 * cap : 4 * cap][:n]
         deltas = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16)
@@ -322,7 +341,7 @@ class DeviceTable:
             # smaller pull (both ints are static at trace time)
             raw_hi = hi_space > cap
 
-        buf = np.asarray(
+        buf = _pull_host(
             _pull_fused(t_hi, t_lo, t_cnt, jnp.int32(n), cap, hi_space, raw_hi)
         )
         lo = buf[: 4 * cap].view(np.uint32)[:n].astype(np.uint64)
@@ -418,14 +437,16 @@ class EpochTable(DeviceTable):
     def _flush_raw(self) -> None:
         if not self._raw:
             return
-        hi = jnp.concatenate([p[0] for p in self._raw])
-        lo = jnp.concatenate([p[1] for p in self._raw])
-        self._raw = []
-        self._raw_pending = 0
-        o_hi, o_lo, o_cnt, n_dev = _epoch_sort_rle(
-            hi, lo, self._k <= 15, self._interpret
-        )
-        n = int(n_dev)  # one sync per epoch; the sort dominates it anyway
+        with span("epoch_flush", pending=self._raw_pending):
+            hi = jnp.concatenate([p[0] for p in self._raw])
+            lo = jnp.concatenate([p[1] for p in self._raw])
+            self._raw = []
+            self._raw_pending = 0
+            o_hi, o_lo, o_cnt, n_dev = _epoch_sort_rle(
+                hi, lo, self._k <= 15, self._interpret
+            )
+            n = int(n_dev)  # one sync per epoch; the sort dominates it
+        trace_event("epoch_flushed", unique_kmers=n)
         keep = min(_round_pow2(max(n, 1)), o_hi.shape[0])
         self._compacted.append((o_hi[:keep], o_lo[:keep], o_cnt[:keep], n))
         if len(self._compacted) > self._max_parts:

@@ -120,3 +120,54 @@ def test_index_get_and_strings():
     assert idx.get(kt.pack("ACG")) == 7
     assert idx.get(kt.pack("TTT")) is None
     assert idx.to_string_counts() == {"ACG": 7}
+
+
+class TestArrayBackedIndex:
+    """Round-2 KmerIndex internals: sorted arrays + binary-search lookups."""
+
+    def test_from_arrays_and_get(self):
+        import numpy as np
+
+        codes = np.array([5, 1, 9], np.uint64)
+        values = np.array([50, 10, 90], np.uint64)
+        idx = kt.KmerIndex.from_arrays(4, codes, values)
+        assert list(idx.codes) == [1, 5, 9]  # sorted on construction
+        assert idx.get(5) == 50 and idx.get(1) == 10 and idx.get(9) == 90
+        assert idx.get(2) is None
+        assert len(idx) == 3 and not idx.is_empty()
+
+    def test_counts_property_is_lazy_dict_view(self):
+        import numpy as np
+
+        idx = kt.KmerIndex.from_arrays(
+            4, np.array([3, 7], np.uint64), np.array([1, 2], np.uint64)
+        )
+        assert idx._dict is None  # not materialized yet
+        assert idx.counts == {3: 1, 7: 2}
+        assert idx._dict is not None  # cached after first read
+
+    def test_duplicate_keys_last_wins_on_load(self):
+        # hand-built file with a duplicated key: reference HashMap semantics
+        import struct
+        import zlib
+
+        import numpy as np
+
+        pairs = np.array([[1, 10], [1, 20], [2, 5]], dtype="<u8")
+        body = b"KMIX" + bytes([1, 4]) + struct.pack("<Q", 3) + pairs.tobytes()
+        body += struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF)
+        idx = deserialize_index(body)
+        assert idx.get(1) == 20 and idx.get(2) == 5
+        assert len(idx) == 2
+
+    def test_roundtrip_via_arrays(self, tmp_path):
+        import numpy as np
+
+        codes = np.arange(100, dtype=np.uint64) * np.uint64(7)
+        values = np.arange(100, dtype=np.uint64) + np.uint64(1)
+        idx = kt.KmerIndex.from_arrays(8, codes, values)
+        p = tmp_path / "arr.kmix"
+        kt.save_index(idx, p)
+        loaded = kt.load_index(p)
+        assert np.array_equal(loaded.codes, codes)
+        assert np.array_equal(loaded.values, values)

@@ -185,3 +185,23 @@ class TestRunApis:
     def test_run_with_input(self, simple_fa, capsys):
         kt.run_with_input(kt.Input.from_path(simple_fa), 3, kt.OutputFormat.TSV, 1)
         assert capsys.readouterr().out.strip()
+
+
+class TestAllKSweep:
+    """SURVEY §4: differential coverage for every k in 1..=32 on fixtures."""
+
+    def test_fixture_counts_all_k(self, simple_fa):
+        with open(simple_fa) as f:
+            seqs = [l.strip() for l in f if not l.startswith(">")]
+        for k in range(1, 33):
+            got = kt.count_kmers(simple_fa, k)
+            assert got == oracle.count_sequences(seqs, k), f"k={k}"
+
+    def test_random_stream_all_k(self):
+        import random
+
+        rng = random.Random(99)
+        seqs = [oracle.random_dna(rng, rng.randint(0, 80), "ACGTN") for _ in range(8)]
+        for k in range(1, 33):
+            got = kt.count_kmers_from_sequences(seqs, k)
+            assert got == oracle.count_sequences(seqs, k), f"k={k}"

@@ -40,12 +40,13 @@ def test_pallas_widths(w):
     _compare(codes, k)
 
 
-def test_pallas_quality():
-    k = 7
-    rng = np.random.default_rng(11)
-    codes = rng.integers(0, 5, size=(16, 128 + k - 1), dtype=np.uint8)
+def test_pallas_quality_rejected():
+    # quality folds into host masks by design; the kernel refuses the args
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=(8, 40), dtype=np.uint8)
     qual = rng.integers(33, 80, size=codes.shape, dtype=np.uint8)
-    _compare(codes, k, qual, 53)
+    with pytest.raises(ValueError):
+        encode_blocks_pallas(codes, 5, qual, 53, interpret=True)
 
 
 def test_pallas_row_padding():

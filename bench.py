@@ -102,13 +102,16 @@ def main() -> None:
     # compilation cache, so subsequent bench runs skip this cost too.
     engine.count(streams, K)
 
-    # best of up to 5 timed passes: the tunneled link's throughput varies
-    # ~2x run-to-run; the fastest pass best reflects the pipeline (criterion
-    # likewise reports distribution minima). A time budget caps total wall
-    # so a degraded tunnel can't run the bench into an external timeout.
+    # best of up to 3 timed passes: the tunneled link's throughput varies
+    # ~2x run-to-run AND degrades under sustained transfer load (observed:
+    # passes of 12.6/13.0/12.0 then 37/47s in one run), so fewer passes =
+    # less self-inflicted degradation; the fastest pass best reflects the
+    # pipeline (criterion likewise reports distribution minima). A time
+    # budget caps total wall so a degraded tunnel can't run the bench into
+    # an external timeout.
     times = []
-    budget = 180.0
-    for _ in range(5):
+    budget = 150.0
+    for _ in range(3):
         t0 = time.perf_counter()
         result = engine.count(streams, K)
         times.append(time.perf_counter() - t0)

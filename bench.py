@@ -216,10 +216,13 @@ def _instrumented_pass(engine, streams) -> dict:
             table.add(out[0], out[1], out[2], batch.rows * batch.block_windows)
         parts.append(out)
         t_compute += time.perf_counter() - t0
-    # flush all queued device work into the compute bucket
+    # flush all queued device work into the compute bucket (resolve the
+    # deferred epoch sync so the sort+rle cost lands here, not in finalize)
     t0 = time.perf_counter()
     if hasattr(table, "_flush_raw"):
         table._flush_raw()
+        if hasattr(table, "_resolve_epoch"):
+            table._resolve_epoch()
         if table._compacted:
             _ = np.asarray(table._compacted[-1][0].ravel()[:1])
     t_compute += time.perf_counter() - t0

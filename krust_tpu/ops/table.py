@@ -425,6 +425,11 @@ class EpochTable(DeviceTable):
         self._raw: list[tuple[jax.Array, jax.Array]] = []
         self._raw_pending = 0
         self._compacted: list[tuple[jax.Array, jax.Array, jax.Array]] = []
+        # unresolved epoch: full-length sort+rle output + device-side n.
+        # The n sync is DEFERRED until the next flush/finalize needs it, so
+        # the host keeps feeding batches while the epoch sort runs (same
+        # pipelining trick as DeviceTable._resolve).
+        self._pending_epoch = None
 
     def add(self, u_hi, u_lo, u_cnt, n_windows: int):
         """Append one batch's raw sentinel-keyed windows (u_cnt ignored)."""
@@ -434,7 +439,21 @@ class EpochTable(DeviceTable):
         if self._raw_pending >= EPOCH_ENTRY_LIMIT:
             self._flush_raw()
 
+    def _resolve_epoch(self) -> None:
+        """Sync the in-flight epoch's n and slice it into a compacted part."""
+        if self._pending_epoch is None:
+            return
+        o_hi, o_lo, o_cnt, n_dev = self._pending_epoch
+        self._pending_epoch = None
+        n = int(n_dev)
+        trace_event("epoch_flushed", unique_kmers=n)
+        keep = min(_round_pow2(max(n, 1)), o_hi.shape[0])
+        self._compacted.append((o_hi[:keep], o_lo[:keep], o_cnt[:keep], n))
+        if len(self._compacted) > self._max_parts:
+            self._merge_compacted()
+
     def _flush_raw(self) -> None:
+        self._resolve_epoch()  # sync overlaps the batches queued since
         if not self._raw:
             return
         with span("epoch_flush", pending=self._raw_pending):
@@ -442,15 +461,9 @@ class EpochTable(DeviceTable):
             lo = jnp.concatenate([p[1] for p in self._raw])
             self._raw = []
             self._raw_pending = 0
-            o_hi, o_lo, o_cnt, n_dev = _epoch_sort_rle(
+            self._pending_epoch = _epoch_sort_rle(
                 hi, lo, self._k <= 15, self._interpret
             )
-            n = int(n_dev)  # one sync per epoch; the sort dominates it
-        trace_event("epoch_flushed", unique_kmers=n)
-        keep = min(_round_pow2(max(n, 1)), o_hi.shape[0])
-        self._compacted.append((o_hi[:keep], o_lo[:keep], o_cnt[:keep], n))
-        if len(self._compacted) > self._max_parts:
-            self._merge_compacted()
 
     def _merge_compacted(self) -> None:
         runs = self._compacted
@@ -470,6 +483,7 @@ class EpochTable(DeviceTable):
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         self._flush_raw()
+        self._resolve_epoch()
         self._merge_compacted()
         if not self._compacted:
             self._reset()
@@ -485,3 +499,4 @@ class EpochTable(DeviceTable):
         self._raw = []
         self._raw_pending = 0
         self._compacted = []
+        self._pending_epoch = None

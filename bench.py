@@ -198,7 +198,6 @@ def _instrumented_pass(engine, streams) -> dict:
 
     t_feed = 0.0
     t_compute = 0.0
-    parts = []
     for batch in batches:
         t0 = time.perf_counter()
         p2 = jax.device_put(jax.numpy.asarray(batch.packed2))
@@ -214,7 +213,6 @@ def _instrumented_pass(engine, streams) -> dict:
             table.add(out[0], out[1], None, batch.rows * batch.block_windows)
         else:
             table.add(out[0], out[1], out[2], batch.rows * batch.block_windows)
-        parts.append(out)
         t_compute += time.perf_counter() - t0
     # flush all queued device work into the compute bucket (resolve the
     # deferred epoch sync so the sort+rle cost lands here, not in finalize)

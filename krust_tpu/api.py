@@ -62,7 +62,9 @@ def _count_path(
     """
     cfg = config or EngineConfig()
     tracker = ProgressTracker() if progress is not None else None
-    if cfg.ingest_chunk_bytes and not cfg.use_numpy_backend:
+    from .models.engines import _jax_usable
+
+    if cfg.ingest_chunk_bytes and not cfg.use_numpy_backend and _jax_usable():
         from .io.reader import stream_input_chunks
         from .models.engines import BatchEngine
 
@@ -130,7 +132,7 @@ def count_kmers_mmap(
 def count_kmers_sniffed(path: str | os.PathLike, k: int) -> dict[str, int]:
     """Count with content-based format detection — the runtime equivalent of
     the reference's needletail reader backend (reference: src/reader.rs
-    needletail cfg variants): the first non-whitespace byte picks
+    needletail cfg variants): the first byte after any leading line terminators picks
     FASTA ('>') or FASTQ ('@') regardless of the file extension.
     """
     kk = KmerLength(k).get()

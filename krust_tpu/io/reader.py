@@ -291,26 +291,6 @@ def parse_to_streams(data: bytes, fmt: SequenceFormat) -> ParsedStreams:
     return ParsedStreams(codes, None, n_rec, n_bases)
 
 
-def _record_cut(data: bytes, fmt: SequenceFormat) -> int:
-    """Largest prefix length of ``data`` that ends on a record boundary.
-
-    FASTA: cut before the last ``\\n>`` (the next record's header start).
-    FASTQ: cut after the newline closing the last complete 4-line group.
-    Returns 0 when no complete record boundary exists in ``data``.
-    """
-    if fmt.is_fastq:
-        arr = np.frombuffer(data, dtype=np.uint8)
-        nl = np.flatnonzero(arr == _NL)
-        groups = nl.shape[0] // 4
-        if groups == 0:
-            return 0
-        return int(nl[4 * groups - 1]) + 1
-    i = data.rfind(b"\n>")
-    if i < 0:
-        return 0
-    return i + 1
-
-
 def stream_input_chunks(
     path: str | os.PathLike | None,
     fmt: SequenceFormat = SequenceFormat.AUTO,
@@ -339,7 +319,12 @@ def stream_input_chunks(
             raise ReadError(str(e), str(path)) from e
         close = True
     try:
-        carry = b""
+        # the carry accumulates as a BLOCK LIST and only the newest block is
+        # ever scanned — a record longer than chunk_bytes (one chromosome)
+        # costs O(record), not O(record^2/chunk) of re-copy + re-scan
+        carry: list[bytes] = []
+        carry_end_nl = True  # FASTA: does the carry end with '\n'?
+        nl_carry = 0  # FASTQ: newlines pending in the carry (< 4)
         while True:
             try:
                 block = f.read(chunk_bytes)
@@ -347,15 +332,37 @@ def stream_input_chunks(
                 raise ReadError(str(e), str(path)) from e
             if not block:
                 if carry:
-                    yield parse_to_streams(carry, resolved)
+                    yield parse_to_streams(b"".join(carry), resolved)
                 return
-            data = carry + block
-            cut = _record_cut(data, resolved)
-            if cut == 0:
-                carry = data  # record longer than the chunk: keep growing
-                continue
-            yield parse_to_streams(data[:cut], resolved)
-            carry = data[cut:]
+            if resolved.is_fastq:
+                nl_in_block = block.count(b"\n")
+                groups = (nl_carry + nl_in_block) // 4
+                if groups == 0:
+                    carry.append(block)
+                    nl_carry += nl_in_block
+                    continue
+                # the closing newline is in THIS block (the carry holds < 4)
+                need = 4 * groups - nl_carry
+                nl_pos = np.flatnonzero(
+                    np.frombuffer(block, dtype=np.uint8) == _NL
+                )
+                cut = int(nl_pos[need - 1]) + 1
+                yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
+                carry = [block[cut:]]
+                nl_carry = nl_in_block - need
+            else:
+                j = block.rfind(b"\n>")
+                if j >= 0:
+                    cut = j + 1
+                elif carry and carry_end_nl and block[:1] == b">":
+                    cut = 0  # boundary falls exactly between carry and block
+                else:
+                    carry.append(block)
+                    carry_end_nl = block.endswith(b"\n")
+                    continue
+                yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
+                carry = [block[cut:]]
+                carry_end_nl = block.endswith(b"\n")
     finally:
         if close:
             f.close()

@@ -91,16 +91,17 @@ def encode_blocks_pallas(
     quality_threshold: None = None,
     interpret: bool = False,
 ):
+    """Pallas-accelerated :func:`~krust_tpu.ops.codec.encode_blocks`.
+
+    Same contract: codes [B, W + k - 1] uint8 -> (hi, lo, valid) [B, W].
+    ``valid`` is returned as uint8 0/1 (count ops coerce to bool). Quality
+    args are rejected: filtering folds into host-side masks by design.
+    """
     if qual is not None or quality_threshold is not None:
         raise ValueError(
             "quality filtering folds into host-side masks; the kernel has "
             "no quality branch (use ops.codec.encode_blocks if needed)"
         )
-    """Pallas-accelerated :func:`~krust_tpu.ops.codec.encode_blocks`.
-
-    Same contract: codes [B, W + k - 1] uint8 -> (hi, lo, valid) [B, W].
-    ``valid`` is returned as uint8 0/1 (count ops coerce to bool).
-    """
     b, wk = codes.shape
     w = wk - (k - 1)
 

@@ -14,6 +14,7 @@ iteration); we emit insertion order of the mapping we're given.
 from __future__ import annotations
 
 import enum
+import io
 import json
 import sys
 from typing import IO, Mapping, TextIO
@@ -183,10 +184,15 @@ def output_packed(
     """
     data = format_packed_counts(result.codes, result.counts, result.k, fmt, min_count)
     if out is None:
-        out = sys.stdout
-    buf = getattr(out, "buffer", None)
-    if buf is not None:
-        buf.write(data)
-    else:  # text stream (test harnesses): decode
+        # default stdout: bytes straight to the binary layer
+        sys.stdout.buffer.write(data)
+        sys.stdout.flush()
+        return
+    # caller-supplied stream: respect ITS text/binary nature — writing
+    # beneath a text wrapper's encoder would corrupt non-ASCII encodings
+    # and reorder pending buffered text
+    if isinstance(out, io.TextIOBase) or hasattr(out, "encoding"):
         out.write(data.decode("ascii"))
+    else:
+        out.write(data)
     out.flush()

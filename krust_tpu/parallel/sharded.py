@@ -545,39 +545,47 @@ def count_sharded(
     while r_chip * 2 <= max(cfg.batch_rows // n_dev, 8):
         r_chip *= 2
 
-    flat = (
-        flat_batches(
-            streams.codes, qual_stream, k, thr, cfg.block_windows, r_chip
+    def flat_factory():
+        fl = (
+            flat_batches(
+                streams.codes, qual_stream, k, thr, cfg.block_windows, r_chip
+            )
+            if cfg.use_flat
+            else None
         )
-        if cfg.use_flat
-        else None
-    )
+        return (
+            None if fl is None else _flat_groups(fl, n_group, r_chip, w_, k)
+        )
+
+    w_ = cfg.block_windows
+    flat = flat_factory()
     # multi-process: every process must drive the SAME collective sequence
     # (lockstep), so group counts sync to the global max and short processes
     # feed zero-covered dummy groups. Window accounting uses the GLOBAL
     # per-super-batch count so epoch flushes trigger identically everywhere.
+    # Lockstep metadata (count + invpos widths) comes from a FIRST pass that
+    # discards the arrays, so host memory stays at one super-batch.
     if flat is not None:
         w = cfg.block_windows
         seg_bases = r_chip * w + k - 1
         seg_bytes = -(-seg_bases // 4)
-        groups = _flat_groups(flat, n_group, r_chip, w, k)
+        groups = flat
         if procs > 1:
             from jax.experimental import multihost_utils
 
-            # lockstep: materialize, sync the group count, agree on invpos
-            # widths (single-process stays lazy — no materialization)
-            glist = list(groups)
-            n_groups = sync_max(len(glist))
+            widths = [g[1].shape[1] for g in flat]  # metadata pass only
+            n_groups = sync_max(len(widths))
             pc = np.full(n_groups, 8, np.int64)
-            for i, g in enumerate(glist):
-                pc[i] = g[1].shape[1]
+            pc[: len(widths)] = widths
             pcaps = multihost_utils.process_allgather(pc)
             pcaps = pcaps.reshape(procs, n_groups).max(axis=0)
 
             def mp_groups():
+                it = flat_factory()  # second, feeding pass
                 for gi in range(n_groups):
-                    if gi < len(glist):
-                        p2, iv, cov, _ = glist[gi]
+                    g = next(it, None)
+                    if g is not None:
+                        p2, iv, cov, _ = g
                         if iv.shape[1] != int(pcaps[gi]):
                             pad = np.full(
                                 (n_group, int(pcaps[gi]) - iv.shape[1]),
@@ -612,17 +620,23 @@ def count_sharded(
         width = w + k - 1
         r_local = -(-cfg.batch_rows // n_group) * n_group
         has_qual = qual_stream is not None
-        batches = pack_buffer(streams.codes, qual_stream, k, w, r_local)
+
+        def dense_factory():
+            return pack_buffer(streams.codes, qual_stream, k, w, r_local)
+
+        batches = dense_factory()
         if procs > 1:
-            blist = list(batches)
-            n_batches = sync_max(len(blist))
+            n_local_batches = sum(1 for _ in dense_factory())  # count only
+            n_batches = sync_max(n_local_batches)
 
             def mp_batches():
-                for bi in range(n_batches):
-                    if bi < len(blist):
-                        yield blist[bi]
-                    else:  # dummy lockstep batch: fully masked
-                        yield _empty_dense(r_local, width, w, has_qual)
+                it = dense_factory()
+                for _ in range(n_batches):
+                    b = next(it, None)
+                    # dummy lockstep batch when this process runs dry
+                    yield b if b is not None else _empty_dense(
+                        r_local, width, w, has_qual
+                    )
 
             batches = mp_batches()
         batch_windows = procs * r_local * w

@@ -122,12 +122,14 @@ def _gather_u32(arr: jax.Array, idx: jax.Array):
 
 
 def _pull_host(arr: jax.Array) -> np.ndarray:
-    """Device -> host pull, optionally in fixed-size slices.
+    """Device -> host pull in fixed-size slices (default 8 MB).
 
-    KRUST_PULL_CHUNK_MB chunks the transfer (some tunneled PJRT backends
-    degrade sharply on large single transfers); unset/0 = one transfer.
+    Measured on the tunneled rig: a single 65 MB d2h transfer sustains
+    ~5 MB/s while 8 MB slices sustain ~26-32 MB/s — a 5x on the finalize
+    pull. On direct-attached hardware the extra per-slice dispatches are
+    noise. KRUST_PULL_CHUNK_MB overrides; 0 = one transfer.
     """
-    mb = int(os.environ.get("KRUST_PULL_CHUNK_MB", "0"))
+    mb = int(os.environ.get("KRUST_PULL_CHUNK_MB", "8"))
     if not mb:
         return np.asarray(arr)
     step = max((mb << 20) // max(arr.dtype.itemsize, 1), 1)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .count import merge_runs, merge_runs_presorted
+from .count import merge_runs
 from ..utils.numutil import round_pow2 as _round_pow2, round_up as _round_up
 from ..utils.tracing import span, trace_event
 

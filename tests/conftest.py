@@ -21,6 +21,23 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles many hundreds of CPU executables in one
+    process; past ~450 tests the XLA CPU JIT segfaults inside a fresh
+    compile (observed deterministically at the same test, which passes in
+    any smaller run). Clearing per module keeps the live-executable
+    population bounded at the cost of some intra-suite recompilation.
+    """
+    yield
+    jax.clear_caches()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import gzip

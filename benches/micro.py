@@ -110,9 +110,49 @@ def output_path() -> None:
         )
 
 
+def device_kernels() -> None:
+    """Round-2 kernel microbenches on the attached device (--device only):
+    epoch sort, rle_compact, merge_sorted_kv at 32M elements."""
+    import jax
+    import jax.numpy as jnp
+
+    from krust_tpu.ops.pallas_merge import merge_sorted_kv
+    from krust_tpu.ops.pallas_rle import rle_compact
+
+    n = 1 << 25
+    rng = np.random.default_rng(0)
+    keys = np.sort(rng.integers(0, n // 4, n).astype(np.uint64))
+    hi = jnp.asarray((keys >> 32).astype(np.uint32))
+    lo = jnp.asarray((keys & 0xFFFFFFFF).astype(np.uint32))
+    raw_hi = jnp.asarray(rng.integers(0, 1 << 10, n, np.uint32))
+    raw_lo = jnp.asarray(rng.integers(0, 1 << 32, n, np.uint64).astype(np.uint32))
+
+    def force(r):
+        np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+
+    def t(fn):
+        force(fn())
+        t0 = time.perf_counter()
+        force(fn())
+        return time.perf_counter() - t0
+
+    print(f"== device kernels ({n} elements) ==")
+    dt = t(lambda: jax.lax.sort((raw_hi, raw_lo), num_keys=2, is_stable=False))
+    print(f"epoch sort (2-op lax.sort): {dt*1e3:.1f} ms = {dt/n*1e9:.2f} ns/elem")
+    dt = t(lambda: rle_compact(hi, lo))
+    print(f"rle_compact:                {dt*1e3:.1f} ms = {dt/n*1e9:.2f} ns/elem")
+    m = n // 2
+    dt = t(lambda: merge_sorted_kv(
+        hi[:m], lo[:m], jnp.ones(m, jnp.uint32),
+        hi[m:], lo[m:], jnp.ones(m, jnp.uint32)))
+    print(f"merge_sorted_kv:            {dt*1e3:.1f} ms = {dt/n*1e9:.2f} ns/elem")
+
+
 if __name__ == "__main__":
     if "--device" not in sys.argv:
         os.environ.setdefault("KRUST_PLATFORM", "cpu")
     micro()
     macro()
     output_path()
+    if "--device" in sys.argv:
+        device_kernels()

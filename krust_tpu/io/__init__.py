@@ -2,7 +2,12 @@
 
 from .format import SequenceFormat
 from .input import Input
-from .reader import SequenceWithQuality, read_records, read_records_with_quality
+from .reader import (
+    SequenceWithQuality,
+    read_records,
+    read_records_with_quality,
+    stream_input_chunks,
+)
 from .packer import PackedBatch, pack_buffer, blockize
 
 __all__ = [
@@ -11,6 +16,7 @@ __all__ = [
     "SequenceWithQuality",
     "read_records",
     "read_records_with_quality",
+    "stream_input_chunks",
     "PackedBatch",
     "pack_buffer",
     "blockize",

@@ -101,3 +101,29 @@ def test_table_delta_pull_exception_heavy():
     codes, counts = table.finalize()
     assert dict(zip(codes.tolist(), counts.tolist())) == expected
     assert np.all(np.diff(codes.astype(np.int64)) > 0)
+
+
+class TestPullHost:
+    """Sliced d2h pulls must be byte-identical to a single transfer."""
+
+    def test_chunked_equals_single(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.table import _pull_host
+
+        arr = jnp.arange(5_000_000, dtype=jnp.uint8)
+        monkeypatch.setenv("KRUST_PULL_CHUNK_MB", "1")
+        chunked = _pull_host(arr)
+        monkeypatch.setenv("KRUST_PULL_CHUNK_MB", "0")
+        single = _pull_host(arr)
+        assert np.array_equal(chunked, single)
+        assert chunked.shape[0] == 5_000_000
+
+    def test_small_array_short_circuits(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.table import _pull_host
+
+        monkeypatch.setenv("KRUST_PULL_CHUNK_MB", "8")
+        arr = jnp.arange(100, dtype=jnp.uint32)
+        assert np.array_equal(_pull_host(arr), np.arange(100, dtype=np.uint32))

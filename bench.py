@@ -74,12 +74,57 @@ def reads_to_stream(reads: np.ndarray) -> np.ndarray:
     return out.reshape(-1)[:-1]  # one separator between reads, none trailing
 
 
+_WATCHDOG = {"deadline": None, "what": ""}
+
+
+def _arm_watchdog(seconds: float, what: str) -> None:
+    """Abort with a diagnostic instead of hanging into an external timeout.
+
+    The tunneled TPU backend can wedge entirely (every transfer blocks
+    forever inside a C call — so SIGALRM handlers never run; it recovers on
+    its own after tens of minutes). A daemon watchdog THREAD checks the
+    deadline and os._exit(3)s with an explanation: a fast, explained
+    failure tells the driver more than a hang.
+    """
+    import threading
+
+    first = _WATCHDOG["deadline"] is None
+    _WATCHDOG["deadline"] = time.monotonic() + seconds
+    _WATCHDOG["what"] = what
+    if not first:
+        return
+
+    def _watch():
+        while True:
+            dl = _WATCHDOG["deadline"]
+            if dl is None:
+                return
+            if time.monotonic() > dl:
+                print(
+                    f"# bench aborted: {_WATCHDOG['what']} did not complete "
+                    "in time — the TPU tunnel is unresponsive (known "
+                    "transient wedge; transfers block indefinitely until "
+                    "the backend recovers)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(3)
+            time.sleep(5)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
 def main() -> None:
     import jax
 
     os.makedirs("/tmp/krust_jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/krust_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    # pre-flight: a trivial round-trip proves the device is reachable
+    _arm_watchdog(180, "device pre-flight round-trip")
+    _ = np.asarray(jax.numpy.zeros(8, jax.numpy.uint8))
+    _arm_watchdog(1800, "the benchmark")
 
     from krust_tpu.io.reader import ParsedStreams
     from krust_tpu.models.engines import BatchEngine
@@ -145,6 +190,7 @@ def main() -> None:
     _ = np.asarray(r)
     d2h = 8 / (time.perf_counter() - t0)
 
+    _WATCHDOG["deadline"] = None  # bench finished: disarm
     print(
         json.dumps(
             {

@@ -67,6 +67,14 @@ class KmerIndex:
         if c.shape[0] and not np.all(c[:-1] <= c[1:]):
             order = np.argsort(c, kind="stable")
             c, v = c[order], v[order]
+        if c.shape[0] > 1:
+            dup = c[1:] == c[:-1]
+            if dup.any():
+                # last-wins dedup: stable sort keeps input order within equal
+                # keys, so this matches the dict-built path (and therefore
+                # serialize/deserialize round-trips) exactly
+                keep = np.append(c[:-1] != c[1:], True)
+                c, v = c[keep], v[keep]
         self._codes = np.ascontiguousarray(c)
         self._values = np.ascontiguousarray(v)
         self._dict: dict[int, int] | None = None

@@ -35,7 +35,9 @@ class SequenceFormat(enum.Enum):
         needletail backend (reference: src/reader.rs cfg(feature="needletail"),
         which sniffs record type from the first byte instead of the path).
 
-        The first non-whitespace byte decides: ``>`` -> FASTA, ``@`` -> FASTQ.
+        The first byte after any leading line terminators decides: ``>`` ->
+        FASTA, ``@`` -> FASTQ. Leading spaces/tabs make the input
+        undetectable (parsers require the header byte at line start).
         Anything else (or empty input) raises ValueError, matching
         needletail's rejection of headerless input
         (reference: tests/library_tests.rs:177-196).

@@ -643,6 +643,8 @@ def count_sharded(
         for batch in batches:
             codes, qual = batch.codes, batch.qual
             covered = batch.n_windows
+            if codes.shape[0] > r_local:
+                raise AssertionError("pack_buffer exceeded batch rows")
             if codes.shape[0] != r_local:  # fixed shape across processes
                 pad = r_local - codes.shape[0]
                 codes = np.vstack(
@@ -652,8 +654,6 @@ def count_sharded(
                     qual = np.vstack(
                         [qual, np.full((pad, width), 0xFF, np.uint8)]
                     )
-            elif codes.shape[0] > r_local:
-                raise AssertionError("pack_buffer exceeded batch rows")
             if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                 flush_epoch()
             codes_d = put_rows(codes, procs * r_local)

@@ -171,3 +171,16 @@ class TestArrayBackedIndex:
         loaded = kt.load_index(p)
         assert np.array_equal(loaded.codes, codes)
         assert np.array_equal(loaded.values, values)
+
+    def test_from_arrays_duplicate_codes_last_wins(self):
+        # duplicate keys in the array path dedup last-wins, matching the
+        # dict-built path and the deserialize fallback exactly
+        import numpy as np
+
+        codes = np.array([7, 3, 7, 5, 3], dtype=np.uint64)
+        values = np.array([1, 2, 9, 4, 8], dtype=np.uint64)
+        idx = kt.KmerIndex.from_arrays(4, codes, values)
+        assert len(idx) == 3
+        assert idx.get(7) == 9 and idx.get(3) == 8 and idx.get(5) == 4
+        rt = deserialize_index(serialize_index(idx))
+        assert rt.counts == {7: 9, 3: 8, 5: 4}

@@ -34,6 +34,11 @@ from .utils.tracing import span
 
 ProgressCallback = Callable[[Progress], None]
 
+#: default record-aligned chunk size for stdin/reader ingest (bounded RSS
+#: for arbitrarily large pipes; files default to eager, which is faster on
+#: inputs that fit in RAM — set EngineConfig.ingest_chunk_bytes to bound those)
+DEFAULT_STDIN_CHUNK_BYTES = 256 << 20
+
 
 def _read_streams(path, k: int, fmt: SequenceFormat):
     """Shared preamble: validate k, resolve format, read + parse."""
@@ -62,17 +67,21 @@ def _count_path(
     """
     cfg = config or EngineConfig()
     tracker = ProgressTracker() if progress is not None else None
-    from .models.engines import _jax_usable
-
-    if cfg.ingest_chunk_bytes and not cfg.use_numpy_backend and _jax_usable():
+    chunk_bytes = cfg.ingest_chunk_bytes
+    if chunk_bytes is None and path is None:
+        # stdin defaults to bounded-memory chunked ingest: a pipe can be
+        # arbitrarily large and has no size to pre-check (reference's
+        # record-at-a-time stdin path: src/streaming.rs:513-616)
+        chunk_bytes = DEFAULT_STDIN_CHUNK_BYTES
+    if chunk_bytes:
         from .io.reader import stream_input_chunks
-        from .models.engines import BatchEngine
+        from .models.engines import count_chunked_streams
 
         kk = KmerLength(k).get()
         with span("read_sequences", path=str(path), chunked=True):
-            chunks = stream_input_chunks(path, fmt, cfg.ingest_chunk_bytes)
-            return BatchEngine(cfg).count_chunked(
-                chunks, kk, min_quality, progress, tracker
+            chunks = stream_input_chunks(path, fmt, chunk_bytes)
+            return count_chunked_streams(
+                chunks, kk, min_quality, cfg, progress, tracker
             )
     kk, streams = _read_streams(path, k, fmt)
     return count_streams(streams, kk, min_quality, cfg, progress, tracker)
@@ -207,26 +216,44 @@ def count_kmers_sequential(path: str | os.PathLike, k: int) -> dict[str, int]:
 
 
 def count_kmers_from_reader(
-    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+    reader: BinaryIO | TextIO,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.FASTA,
+    config: EngineConfig | None = None,
 ) -> dict[str, int]:
     """Count from any readable stream (reference: src/streaming.rs:513-616)."""
-    return count_kmers_from_reader_packed_result(reader, k, fmt).to_string_dict()
+    return count_kmers_from_reader_packed_result(
+        reader, k, fmt, config
+    ).to_string_dict()
 
 
 def count_kmers_from_reader_packed(
-    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+    reader: BinaryIO | TextIO,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.FASTA,
+    config: EngineConfig | None = None,
 ) -> dict[int, int]:
-    return count_kmers_from_reader_packed_result(reader, k, fmt).to_packed_dict()
+    return count_kmers_from_reader_packed_result(
+        reader, k, fmt, config
+    ).to_packed_dict()
 
 
 def count_kmers_from_reader_packed_result(
-    reader: BinaryIO | TextIO, k: int, fmt: SequenceFormat = SequenceFormat.FASTA
+    reader: BinaryIO | TextIO,
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.FASTA,
+    config: EngineConfig | None = None,
 ) -> PackedCounts:
-    data = reader.read()
-    if isinstance(data, str):
-        data = data.encode("ascii", errors="surrogateescape")
-    streams = parse_to_streams(data, fmt.resolve(None))
-    return count_streams(streams, KmerLength(k).get())
+    """Bounded-memory count from an open stream: the reader is consumed in
+    record-aligned chunks, never whole, so pipes larger than RAM work
+    (reference's BufRead loop: src/streaming.rs:513-616, 538-557)."""
+    from .io.reader import stream_reader_chunks
+    from .models.engines import count_chunked_streams
+
+    cfg = config or EngineConfig()
+    chunk_bytes = cfg.ingest_chunk_bytes or DEFAULT_STDIN_CHUNK_BYTES
+    chunks = stream_reader_chunks(reader, fmt.resolve(None), chunk_bytes)
+    return count_chunked_streams(chunks, KmerLength(k).get(), config=cfg)
 
 
 def count_kmers_stdin(k: int) -> dict[str, int]:

@@ -53,6 +53,18 @@ def _parse_k(value: str) -> int:
     return k
 
 
+def _parse_min_count(value: str) -> int:
+    """Non-negative count (the reference's clap u64 rejects negatives;
+    reference: src/cli.rs:50)."""
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"'{value}' is not a valid number")
+    if n < 0:
+        raise argparse.ArgumentTypeError(f"'{value}' is not a valid number")
+    return n
+
+
 def _count_parser(prog: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog=prog,
@@ -72,7 +84,7 @@ def _count_parser(prog: str) -> argparse.ArgumentParser:
         default="fasta", help="Output format",
     )
     p.add_argument(
-        "-m", "--min-count", type=int, default=1,
+        "-m", "--min-count", type=_parse_min_count, default=1,
         help="Minimum count threshold (k-mers below this are excluded)",
     )
     p.add_argument(

@@ -255,6 +255,67 @@ def pack2_full(codes: np.ndarray) -> np.ndarray:
     return (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
 
 
+def _flat_eligible(k: int, w: int, batch_rows: int) -> bool:
+    """Geometry preconditions shared by the flat path and its metadata twin.
+
+    Rows must start on byte boundaries (w % 8), the halo must fit one block,
+    and segment offsets must fit int32 — otherwise the dense blockize path
+    handles the configuration correctly.
+    """
+    return not (w % 8 or w < k - 1 or batch_rows * w + k - 1 >= (1 << 31))
+
+
+def _flat_segments(n: int, k: int, w: int, batch_rows: int, row_multiple: int):
+    """Per-batch geometry of the flat decomposition (shared with metadata).
+
+    Yields (row0, rows_padded, seg_bases, base0, covered) per batch.
+    """
+    t = max(n - k + 1, 0)
+    n_blocks = -(-t // w) if t > 0 else 0
+    for row0 in range(0, max(n_blocks, 1), batch_rows):
+        rows = min(batch_rows, max(n_blocks, 1) - row0)
+        rows_padded = max(-(-rows // row_multiple) * row_multiple, row_multiple)
+        # bucket rows to a power of two above the row multiple so at most
+        # log2(batch_rows) step shapes are ever compiled
+        rows_padded = min(round_pow2(rows_padded, row_multiple), batch_rows)
+        seg_bases = rows_padded * w + k - 1
+        base0 = row0 * w
+        covered = min((row0 + rows) * w, t) - base0 if t > 0 else 0
+        yield row0, rows_padded, seg_bases, base0, max(covered, 0)
+
+
+def flat_batch_widths(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    k: int,
+    quality_threshold: int | None = None,
+    block_windows: int = DEFAULT_BLOCK_WINDOWS,
+    batch_rows: int = 8192,
+    row_multiple: int = ROW_MULTIPLE,
+) -> list[int] | None:
+    """Padded invpos width per flat batch WITHOUT packing or materializing.
+
+    The cheap metadata twin of :func:`flat_batches` — one vectorized invalid
+    scan of the stream, no 2-bit pack, no segment copies. Returns None under
+    exactly the conditions flat_batches would (so multi-process callers can
+    derive lockstep metadata from it and still agree on flat-vs-dense).
+    """
+    w = block_windows
+    if not _flat_eligible(k, w, batch_rows):
+        return None
+    n = codes.shape[0]
+    inv = invalid_positions(codes, qual, quality_threshold)
+    if inv.shape[0] > n // 32:
+        return None
+    widths = []
+    for _, _, seg_bases, base0, _ in _flat_segments(
+        n, k, w, batch_rows, row_multiple
+    ):
+        i0, i1 = np.searchsorted(inv, [base0, base0 + seg_bases])
+        widths.append(round_pow2(int(i1 - i0), 8))
+    return widths
+
+
 def flat_batches(
     codes: np.ndarray,
     qual: np.ndarray | None,
@@ -274,10 +335,7 @@ def flat_batches(
     from . import native
 
     w = block_windows
-    if w % 8 or w < k - 1 or batch_rows * w + k - 1 >= (1 << 31):
-        # rows must start on byte boundaries (w % 8), the halo must fit one
-        # block, and segment offsets must fit int32 — otherwise the dense
-        # blockize path handles the configuration correctly
+    if not _flat_eligible(k, w, batch_rows):
         return None
     n = codes.shape[0]
     max_inv = n // 32
@@ -293,18 +351,12 @@ def flat_batches(
             return None
 
     def gen():
-        t = max(n - k + 1, 0)
-        n_blocks = -(-t // w) if t > 0 else 0
         packed2 = packed2_pre if packed2_pre is not None else pack2_full(codes)
-        for row0 in range(0, max(n_blocks, 1), batch_rows):
-            rows = min(batch_rows, max(n_blocks, 1) - row0)
-            rows_padded = max(-(-rows // row_multiple) * row_multiple, row_multiple)
-            # bucket rows to a power of two above the row multiple so at most
-            # log2(batch_rows) step shapes are ever compiled
-            rows_padded = min(round_pow2(rows_padded, row_multiple), batch_rows)
-            seg_bases = rows_padded * w + k - 1
+        for _, rows_padded, seg_bases, base0, covered in _flat_segments(
+            n, k, w, batch_rows, row_multiple
+        ):
             seg_bytes = -(-seg_bases // 4)
-            b0 = (row0 * w) // 4
+            b0 = base0 // 4
             seg = packed2[b0 : b0 + seg_bytes]
             if seg.shape[0] < seg_bytes:  # tail: pad
                 seg = np.concatenate(
@@ -316,7 +368,6 @@ def flat_batches(
                 # registration on tunneled PJRT backends (100x slowdown);
                 # an 8MB memcpy is noise by comparison
                 seg = seg.copy()
-            base0 = row0 * w
             i0, i1 = np.searchsorted(inv, [base0, base0 + seg_bases])
             seg_inv = (inv[i0:i1] - base0).astype(np.int32)  # < 2^31 by seg size
             p = round_pow2(seg_inv.shape[0], 8)
@@ -327,8 +378,7 @@ def flat_batches(
                         np.full(p - seg_inv.shape[0], seg_bases, np.int32),
                     ]
                 )
-            covered = min((row0 + rows) * w, t) - row0 * w if t > 0 else 0
-            yield FlatBatch(seg, seg_inv, max(covered, 0), rows_padded, w, i1 - i0)
+            yield FlatBatch(seg, seg_inv, covered, rows_padded, w, i1 - i0)
 
     return gen()
 

@@ -319,53 +319,73 @@ def stream_input_chunks(
             raise ReadError(str(e), str(path)) from e
         close = True
     try:
-        # the carry accumulates as a BLOCK LIST and only the newest block is
-        # ever scanned — a record longer than chunk_bytes (one chromosome)
-        # costs O(record), not O(record^2/chunk) of re-copy + re-scan
-        carry: list[bytes] = []
-        carry_end_nl = True  # FASTA: does the carry end with '\n'?
-        nl_carry = 0  # FASTQ: newlines pending in the carry (< 4)
-        while True:
-            try:
-                block = f.read(chunk_bytes)
-            except (OSError, EOFError) as e:
-                raise ReadError(str(e), str(path)) from e
-            if not block:
-                if carry:
-                    yield parse_to_streams(b"".join(carry), resolved)
-                return
-            if resolved.is_fastq:
-                nl_in_block = block.count(b"\n")
-                groups = (nl_carry + nl_in_block) // 4
-                if groups == 0:
-                    carry.append(block)
-                    nl_carry += nl_in_block
-                    continue
-                # the closing newline is in THIS block (the carry holds < 4)
-                need = 4 * groups - nl_carry
-                nl_pos = np.flatnonzero(
-                    np.frombuffer(block, dtype=np.uint8) == _NL
-                )
-                cut = int(nl_pos[need - 1]) + 1
-                yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
-                carry = [block[cut:]]
-                nl_carry = nl_in_block - need
-            else:
-                j = block.rfind(b"\n>")
-                if j >= 0:
-                    cut = j + 1
-                elif carry and carry_end_nl and block[:1] == b">":
-                    cut = 0  # boundary falls exactly between carry and block
-                else:
-                    carry.append(block)
-                    carry_end_nl = block.endswith(b"\n")
-                    continue
-                yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
-                carry = [block[cut:]]
-                carry_end_nl = block.endswith(b"\n")
+        yield from stream_reader_chunks(f, resolved, chunk_bytes, path)
     finally:
         if close:
             f.close()
+
+
+def stream_reader_chunks(
+    f,
+    resolved: SequenceFormat,
+    chunk_bytes: int = 256 << 20,
+    path: str | os.PathLike | None = None,
+):
+    """Yield :class:`ParsedStreams` chunks from an open readable stream.
+
+    The reader-level core of :func:`stream_input_chunks` (see its docstring
+    for the exactness argument): works on any object with ``read(n)`` —
+    files, pipes, sockets, ``io.BytesIO``, or text streams (decoded chunks
+    are encoded back to bytes). The stream is never read whole, matching the
+    reference's record-at-a-time BufRead paths
+    (reference: src/streaming.rs:513-616).
+    """
+    # the carry accumulates as a BLOCK LIST and only the newest block is
+    # ever scanned — a record longer than chunk_bytes (one chromosome)
+    # costs O(record), not O(record^2/chunk) of re-copy + re-scan
+    carry: list[bytes] = []
+    carry_end_nl = True  # FASTA: does the carry end with '\n'?
+    nl_carry = 0  # FASTQ: newlines pending in the carry (< 4)
+    while True:
+        try:
+            block = f.read(chunk_bytes)
+        except (OSError, EOFError) as e:
+            raise ReadError(str(e), str(path)) from e
+        if isinstance(block, str):  # text stream: back to bytes
+            block = block.encode("ascii", errors="surrogateescape")
+        if not block:
+            if carry:
+                yield parse_to_streams(b"".join(carry), resolved)
+            return
+        if resolved.is_fastq:
+            nl_in_block = block.count(b"\n")
+            groups = (nl_carry + nl_in_block) // 4
+            if groups == 0:
+                carry.append(block)
+                nl_carry += nl_in_block
+                continue
+            # the closing newline is in THIS block (the carry holds < 4)
+            need = 4 * groups - nl_carry
+            nl_pos = np.flatnonzero(
+                np.frombuffer(block, dtype=np.uint8) == _NL
+            )
+            cut = int(nl_pos[need - 1]) + 1
+            yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
+            carry = [block[cut:]]
+            nl_carry = nl_in_block - need
+        else:
+            j = block.rfind(b"\n>")
+            if j >= 0:
+                cut = j + 1
+            elif carry and carry_end_nl and block[:1] == b">":
+                cut = 0  # boundary falls exactly between carry and block
+            else:
+                carry.append(block)
+                carry_end_nl = block.endswith(b"\n")
+                continue
+            yield parse_to_streams(b"".join(carry) + block[:cut], resolved)
+            carry = [block[cut:]]
+            carry_end_nl = block.endswith(b"\n")
 
 
 def _with_separators(flat: np.ndarray, rec_lens: np.ndarray, sep: int) -> np.ndarray:

@@ -574,3 +574,36 @@ def count_streams(
     else:
         engine = BatchEngine(cfg)
     return engine.count(streams, k, min_quality, progress, tracker)
+
+
+def count_chunked_streams(
+    chunks,
+    k: int,
+    min_quality: int | None = None,
+    config: EngineConfig | None = None,
+    progress: ProgressCallback | None = None,
+    tracker: ProgressTracker | None = None,
+) -> PackedCounts:
+    """Count an iterator of :class:`ParsedStreams` chunks as one input.
+
+    The bounded-host-memory twin of :func:`count_streams` (reference's
+    true-streaming engines: src/streaming.rs:513-616): chunks are consumed
+    and released one at a time on whichever engine is available, so host RSS
+    stays at O(chunk + tables) for arbitrarily large pipes.
+    """
+    cfg = config or EngineConfig()
+    if not (cfg.use_numpy_backend or not _jax_usable()):
+        return BatchEngine(cfg).count_chunked(
+            chunks, k, min_quality, progress, tracker
+        )
+    acc = _HostAccumulator(cfg.host_compact_threshold)
+    for streams in chunks:
+        thr = _quality_threshold(min_quality) if streams.qual is not None else None
+        uniq, cnt = count_stream_numpy(streams.codes, streams.qual, k, thr)
+        acc.add(uniq, cnt.astype(np.uint64))
+        if tracker is not None:
+            tracker.record_batch(streams.n_records, streams.n_bases)
+            if progress is not None:
+                progress(tracker.snapshot())
+    codes64, counts64 = acc.result()
+    return PackedCounts(k, codes64, counts64)

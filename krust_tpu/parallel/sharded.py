@@ -381,6 +381,11 @@ class EpochShardedTable(ShardedTable):
         self._raw: list[tuple[jax.Array, jax.Array]] = []
         self._raw_pending = 0  # per-chip entries
         self._compacted: list[tuple] = []
+        # unresolved epoch: full-length sort+rle output + device-side n.
+        # The n sync is DEFERRED until the next flush/exchange needs it, so
+        # the host keeps feeding batches while the epoch sorts run on every
+        # chip (same pipelining as ops/table.EpochTable._pending_epoch).
+        self._pending_epoch = None
 
     def add(self, u_hi, u_lo, u_cnt, n_windows: int):
         from ..ops.table import EPOCH_ENTRY_LIMIT
@@ -393,16 +398,12 @@ class EpochShardedTable(ShardedTable):
         if self._raw_pending >= max(EPOCH_ENTRY_LIMIT // n_dev, 1 << 20):
             self._flush_raw()
 
-    def _flush_raw(self) -> None:
-        if not self._raw:
+    def _resolve_epoch(self) -> None:
+        """Sync the in-flight epoch's n and slice it into a compacted part."""
+        if self._pending_epoch is None:
             return
-        hi = jnp.concatenate([p[0] for p in self._raw], axis=1)
-        lo = jnp.concatenate([p[1] for p in self._raw], axis=1)
-        self._raw = []
-        self._raw_pending = 0
-        o_hi, o_lo, o_cnt, n_dev_max = _epoch_sort_rle_sharded(
-            hi, lo, self._k <= 15, self._interpret, self._mesh
-        )
+        o_hi, o_lo, o_cnt, n_dev_max = self._pending_epoch
+        self._pending_epoch = None
         n = int(np.asarray(n_dev_max))
         keep = min(round_pow2(max(n, 1)), o_hi.shape[1])
         self._compacted.append(
@@ -410,6 +411,18 @@ class EpochShardedTable(ShardedTable):
         )
         if len(self._compacted) > self._max_parts:
             self._merge_compacted()
+
+    def _flush_raw(self) -> None:
+        self._resolve_epoch()  # sync overlaps the batches queued since
+        if not self._raw:
+            return
+        hi = jnp.concatenate([p[0] for p in self._raw], axis=1)
+        lo = jnp.concatenate([p[1] for p in self._raw], axis=1)
+        self._raw = []
+        self._raw_pending = 0
+        self._pending_epoch = _epoch_sort_rle_sharded(
+            hi, lo, self._k <= 15, self._interpret, self._mesh
+        )
 
     def _merge_compacted(self) -> None:
         runs = self._compacted
@@ -429,6 +442,7 @@ class EpochShardedTable(ShardedTable):
 
     def exchange(self, capacity_factor: int = 4):
         self._flush_raw()
+        self._resolve_epoch()
         self._merge_compacted()
         if not self._compacted:
             return None
@@ -443,6 +457,7 @@ class EpochShardedTable(ShardedTable):
         self._raw = []
         self._raw_pending = 0
         self._compacted = []
+        self._pending_epoch = None
 
 
 
@@ -559,12 +574,19 @@ def count_sharded(
 
     w_ = cfg.block_windows
     flat = flat_factory()
+    if procs > 1 and sync_max(1 if flat is None else 0):
+        # flat-vs-dense is data-dependent (dirty-input threshold); if ANY
+        # process needs the dense path, all must take it or the collective
+        # sequences diverge and the pod hangs
+        flat = None
     # multi-process: every process must drive the SAME collective sequence
     # (lockstep), so group counts sync to the global max and short processes
     # feed zero-covered dummy groups. Window accounting uses the GLOBAL
     # per-super-batch count so epoch flushes trigger identically everywhere.
-    # Lockstep metadata (count + invpos widths) comes from a FIRST pass that
-    # discards the arrays, so host memory stays at one super-batch.
+    # Lockstep metadata (count + invpos widths) comes from the cheap
+    # metadata twin of the packer (one vectorized invalid scan — no 2-bit
+    # pack, no segment copies), so the input is scanned-and-packed exactly
+    # once per process, by the single feeding pass.
     if flat is not None:
         w = cfg.block_windows
         seg_bases = r_chip * w + k - 1
@@ -573,7 +595,19 @@ def count_sharded(
         if procs > 1:
             from jax.experimental import multihost_utils
 
-            widths = [g[1].shape[1] for g in flat]  # metadata pass only
+            from ..io.packer import flat_batch_widths
+
+            batch_widths = flat_batch_widths(
+                streams.codes, qual_stream, k, thr, w, r_chip
+            )
+            assert batch_widths is not None  # agreed flat above
+            # group consecutive per-chip batches exactly as _flat_groups
+            # does: the super-batch width is the max member width (members
+            # are already powers of two >= 8)
+            widths = [
+                max(batch_widths[i : i + n_group])
+                for i in range(0, len(batch_widths), n_group)
+            ]
             n_groups = sync_max(len(widths))
             pc = np.full(n_groups, 8, np.int64)
             pc[: len(widths)] = widths
@@ -581,11 +615,15 @@ def count_sharded(
             pcaps = pcaps.reshape(procs, n_groups).max(axis=0)
 
             def mp_groups():
-                it = flat_factory()  # second, feeding pass
+                it = flat  # the one feeding pass
                 for gi in range(n_groups):
                     g = next(it, None)
                     if g is not None:
                         p2, iv, cov, _ = g
+                        if iv.shape[1] > int(pcaps[gi]):
+                            raise AssertionError(
+                                "flat metadata narrower than actual invpos"
+                            )
                         if iv.shape[1] != int(pcaps[gi]):
                             pad = np.full(
                                 (n_group, int(pcaps[gi]) - iv.shape[1]),
@@ -626,7 +664,11 @@ def count_sharded(
 
         batches = dense_factory()
         if procs > 1:
-            n_local_batches = sum(1 for _ in dense_factory())  # count only
+            # batch count is pure geometry (mirrors pack_buffer's loop) —
+            # no materializing pass needed
+            t = max(streams.codes.shape[0] - k + 1, 0)
+            n_blocks = -(-t // w) if t > 0 else 0
+            n_local_batches = 1 if n_blocks <= r_local else -(-n_blocks // r_local)
             n_batches = sync_max(n_local_batches)
 
             def mp_batches():

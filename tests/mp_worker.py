@@ -18,6 +18,7 @@ def main():
     coordinator = sys.argv[3]
     outdir = sys.argv[4]
     k = int(sys.argv[5])
+    alphabet = sys.argv[6] if len(sys.argv) > 6 else "ACGTN"
 
     import jax
 
@@ -41,14 +42,28 @@ def main():
     from krust_tpu.utils.config import EngineConfig
 
     rng = random.Random(1234)
-    seqs = [oracle.random_dna(rng, rng.randint(0, 300), "ACGTN") for _ in range(40)]
+    seqs = [oracle.random_dna(rng, rng.randint(0, 300), alphabet) for _ in range(40)]
     # per-host input sharding: this process parses only its own records
     local = seqs[proc_id::n_procs]
     streams = streams_from_sequences(local)
 
+    # double-parse regression spy: the whole input must be native-scanned
+    # (parsed + 2-bit packed) AT MOST once per process, by the feeding pass
+    from krust_tpu.io import native as _native
+
+    scan_calls = {"n": 0}
+    _real_scan = _native.scan_stream_native
+
+    def _spy(*a, **kw):
+        scan_calls["n"] += 1
+        return _real_scan(*a, **kw)
+
+    _native.scan_stream_native = _spy
+
     mesh = make_mesh()
     cfg = EngineConfig(block_windows=128, batch_rows=16)
     result = count_sharded(streams, k, mesh=mesh, config=cfg)
+    assert scan_calls["n"] <= 1, f"input scanned {scan_calls['n']} times"
 
     np.savez(
         os.path.join(outdir, f"shard_{proc_id}.npz"),

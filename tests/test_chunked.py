@@ -4,11 +4,14 @@ Reference analog: the true-streaming engines (src/streaming.rs:513-616).
 """
 
 import gzip
+import io
+import os
 import random
 
 import numpy as np
 import pytest
 
+import krust_tpu as kt
 from krust_tpu.api import _count_path
 from krust_tpu.io.format import SequenceFormat
 from krust_tpu.io.reader import stream_input_chunks
@@ -114,3 +117,69 @@ def test_progress_fires_per_chunk(tmp_path, seqs):
     assert snaps[-1].sequences_processed == len(seqs)
     bases = [s.bases_processed for s in snaps]
     assert bases == sorted(bases)
+
+
+class _ChunkOnlyReader:
+    """A stream that REFUSES whole-stream reads: read() must get a size.
+
+    Stands in for an unbounded pipe — if any code path tries to slurp it
+    (reader.read() with no/negative size), the test fails immediately.
+    """
+
+    def __init__(self, data: bytes):
+        self._buf = io.BytesIO(data)
+        self.max_request = 0
+
+    def read(self, n: int = -1) -> bytes:
+        assert n is not None and n > 0, "unbounded read() on a pipe reader"
+        self.max_request = max(self.max_request, n)
+        return self._buf.read(n)
+
+
+class TestFromReaderBounded:
+    """count_kmers_from_reader consumes the stream in record-aligned chunks
+    (reference's BufRead loop: src/streaming.rs:513-616) — never slurping."""
+
+    def test_reader_never_slurped_and_exact(self, tmp_path, seqs):
+        p = tmp_path / "in.fa"
+        _write_fasta(p, seqs)
+        expected = oracle.count_sequences(seqs, 7)
+        data = p.read_bytes()
+        # many chunks: chunk size far below the input size
+        cfg = EngineConfig(ingest_chunk_bytes=512)
+        reader = _ChunkOnlyReader(data)
+        got = kt.count_kmers_from_reader(
+            reader, 7, SequenceFormat.FASTA, config=cfg
+        )
+        assert reader.max_request <= 512
+        assert got == expected
+
+    def test_default_chunked_matches_eager(self, tmp_path, seqs):
+        p = tmp_path / "in.fq"
+        _write_fastq(p, [s for s in seqs if s])
+        with open(p, "rb") as f:
+            got = kt.count_kmers_from_reader(f, 5, SequenceFormat.FASTQ)
+        assert got == kt.count_kmers_with_format(str(p), 5, SequenceFormat.FASTQ)
+
+    def test_stdin_pipe_larger_than_chunk(self, tmp_path, seqs):
+        """CLI stdin: input many times the chunk size, exact counts."""
+        import subprocess
+        import sys
+
+        p = tmp_path / "in.fa"
+        _write_fasta(p, seqs)
+        env = dict(os.environ, KRUST_PLATFORM="cpu")
+        out = subprocess.run(
+            [sys.executable, "-m", "krust_tpu", "7", "-", "-f", "tsv", "-q"],
+            stdin=open(p, "rb"),
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert out.returncode == 0, out.stderr
+        got = {}
+        for line in out.stdout.splitlines():
+            kmer, cnt = line.split("\t")
+            got[kmer] = int(cnt)
+        assert got == oracle.count_sequences(seqs, 7)

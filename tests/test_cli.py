@@ -248,3 +248,48 @@ class TestSaveAndQuery:
         r = kmix("query", str(p), "ACG")
         assert r.returncode == 1
         assert b"Failed to load index" in r.stderr
+
+
+class TestRound3Parity:
+    """Combos from the reference integration suite added in round 3
+    (reference: tests/integration_tests.rs)."""
+
+    def test_negative_min_count_rejected(self, simple_fa):
+        # reference clap u64 rejects negatives (reference: src/cli.rs:50)
+        r = kmix("3", simple_fa, "-m", "-1")
+        assert r.returncode == 2
+        assert b"not a valid number" in r.stderr
+
+    def test_histogram_exact_values(self, simple_fa):
+        # counts {ACG:4, GTA:3, four singletons} -> exact spectrum rows
+        r = kmix("3", simple_fa, "-f", "histogram", "-q")
+        assert r.stdout.decode() == "1\t4\n3\t1\n4\t1\n"
+
+    def test_quiet_save_combo(self, simple_fa, tmp_path):
+        # --save with --quiet: stderr stays empty, counts still print to
+        # stdout, and the index is queryable (reference: main.rs:155-212 +
+        # the stderr-empty contract, integration_tests.rs:233-261)
+        out = str(tmp_path / "qs.kmix")
+        r = kmix("3", simple_fa, "--save", out, "-q", "-f", "tsv")
+        assert r.returncode == 0
+        assert r.stderr == b""
+        assert parse_tsv(r.stdout) == SIMPLE_EXPECTED_K3
+        assert open(out, "rb").read(4) == b"KMIX"
+        q = kmix("query", out, "ACG")
+        assert q.stdout.decode().strip() == "4"
+
+    def test_fasta_fastq_equal_counts(self, simple_fa, simple_fq):
+        # reference: integration_tests.rs FASTA == FASTQ count equality
+        ra = kmix("5", simple_fa, "-f", "tsv", "-q")
+        rq = kmix("5", simple_fq, "-f", "tsv", "-q")
+        assert parse_tsv(ra.stdout) == parse_tsv(rq.stdout)
+
+    def test_gzip_equals_plain(self, fixtures_dir):
+        rp = kmix("5", str(fixtures_dir / "simple.fa"), "-f", "tsv", "-q")
+        rg = kmix("5", str(fixtures_dir / "simple.fa.gz"), "-f", "tsv", "-q")
+        assert parse_tsv(rp.stdout) == parse_tsv(rg.stdout)
+
+    def test_min_quality_bounds(self, simple_fq):
+        r = kmix("3", simple_fq, "-Q", "94")
+        assert r.returncode == 1
+        assert b"between 0 and 93" in r.stderr

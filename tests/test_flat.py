@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from krust_tpu.io.packer import flat_batches, invalid_positions, pack2_full
+from krust_tpu.io.packer import (
+    flat_batch_widths,
+    flat_batches,
+    invalid_positions,
+    pack2_full,
+)
 from krust_tpu.io.reader import ParsedStreams
 from krust_tpu.kmer import INVALID_CODE
 from krust_tpu.models.engines import BatchEngine, NumpyEngine
@@ -203,3 +208,38 @@ class TestProgressCadence:
         assert bases == sorted(bases)
         assert snaps[-1].bases_processed == 40_000
         assert snaps[-1].sequences_processed == 10
+
+
+class TestFlatBatchWidths:
+    """flat_batch_widths is the cheap metadata twin of flat_batches: same
+    per-batch padded invpos widths, same flat-vs-dense decision, no pack."""
+
+    @pytest.mark.parametrize("n,k,ninv", [(0, 5, 0), (3, 5, 0), (2000, 5, 20),
+                                          (5000, 21, 100), (777, 31, 3)])
+    def test_widths_match_actual(self, n, k, ninv):
+        rng = np.random.default_rng(n + k)
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        if ninv and n:
+            codes[rng.choice(n, size=min(ninv, n), replace=False)] = 4
+        w, rows = 128, 4
+        widths = flat_batch_widths(codes, None, k, None, w, rows)
+        flat = flat_batches(codes, None, k, None, w, rows)
+        assert widths is not None and flat is not None
+        actual = [b.invpos.shape[0] for b in flat]
+        assert widths == actual
+
+    def test_dirty_decision_matches(self):
+        rng = np.random.default_rng(9)
+        codes = rng.integers(0, 4, 1000, dtype=np.uint8)
+        codes[rng.choice(1000, size=100, replace=False)] = 4  # > 1/32 dirty
+        assert flat_batch_widths(codes, None, 5, None, 128, 4) is None
+        assert flat_batches(codes, None, 5, None, 128, 4) is None
+
+    def test_quality_threshold_included(self):
+        rng = np.random.default_rng(11)
+        codes = rng.integers(0, 4, 3000, dtype=np.uint8)
+        qual = np.full(3000, 70, np.uint8)
+        qual[rng.choice(3000, size=40, replace=False)] = 35
+        widths = flat_batch_widths(codes, qual, 7, 53, 128, 4)
+        flat = flat_batches(codes, qual, 7, 53, 128, 4)
+        assert widths == [b.invpos.shape[0] for b in flat]

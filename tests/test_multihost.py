@@ -30,8 +30,14 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.parametrize("k", [5, 21])
-def test_two_process_count_matches_oracle(tmp_path, k):
+@pytest.mark.parametrize(
+    "k,alphabet",
+    [
+        (5, "ACGTN"),   # dirty input: dense lockstep path
+        (21, "ACGT"),   # clean input: flat lockstep path (metadata widths)
+    ],
+)
+def test_two_process_count_matches_oracle(tmp_path, k, alphabet):
     port = _free_port()
     env = dict(os.environ)
     env.update(
@@ -44,7 +50,7 @@ def test_two_process_count_matches_oracle(tmp_path, k):
         subprocess.Popen(
             [
                 sys.executable, worker, str(p), "2",
-                f"127.0.0.1:{port}", str(tmp_path), str(k),
+                f"127.0.0.1:{port}", str(tmp_path), str(k), alphabet,
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -77,7 +83,7 @@ def test_two_process_count_matches_oracle(tmp_path, k):
     codes, counts = codes[order], counts[order]
 
     rng = random.Random(1234)
-    seqs = [oracle.random_dna(rng, rng.randint(0, 300), "ACGTN") for _ in range(40)]
+    seqs = [oracle.random_dna(rng, rng.randint(0, 300), alphabet) for _ in range(40)]
     expected = oracle.count_sequences(seqs, k)
 
     from krust_tpu.kmer import unpack_many

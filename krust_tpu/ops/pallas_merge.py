@@ -7,19 +7,26 @@ at 2x16.8M elements, 2.7x at 2x64M (the gap grows with n).
 
 How it works:
 
-- **Merge path.** For every output chunk boundary d = c*CH a vectorized
+- **Merge path.** For every output chunk boundary d = c*OUT a vectorized
   bisection finds the split (i, d - i): the first i elements of `a` plus the
   first d - i of `b` are exactly the first d merged elements. Chunks are
   therefore independent: chunk c consumes a[i0:i1] and b[j0:j1] with
-  (i1-i0) + (j1-j0) = CH and emits merged[d : d+CH].
+  (i1-i0) + (j1-j0) = OUT and emits merged[d : d+OUT].
 - **Complementary alignment.** Mosaic DMAs need 128-lane-aligned offsets but
-  splits are arbitrary. Because CH is a multiple of 128, i0 + j0 = d = 0
+  splits are arbitrary. Because OUT is a multiple of 128, i0 + j0 = d = 0
   (mod 128): rounding window A down by off_a = i0 % 128 forces window B's
   offset off_b = (128 - off_a) % 128 to also be 128-aligned (after a
   128-zero front pad of b). The merged chunk then starts at flat slot
   off_a + off_b which is exactly 0 or 128 — row 0 or row 1 of the [rows,
   128] layout, a static two-way select instead of an unaligned dynamic
   slice.
+- **Tight network.** The output chunk OUT = CH - 1024 is deliberately
+  smaller than the power-of-two window CH, so each window (junk front +
+  OUT useful elements <= CH) fits a pow2 network half exactly: the merge
+  network is 2*CH wide for OUT outputs (~2.1x inflation), versus 4x when
+  the window itself must be rounded up to the next power of two. OUT
+  stays a multiple of 1024 so output blocks keep sublane counts that are
+  multiples of 8 (odd sublane tiles crash Mosaic at runtime).
 - **Batcher odd-even merge** of the two sorted windows entirely in VMEM:
   compare (i, i + n/2) for i < n/2, then for s = n/4..1 compare (i, i + s)
   where (i mod 2s) >= s — all exchanges are +-s flat rolls (two jnp.rolls
@@ -44,30 +51,24 @@ from jax.experimental.pallas import tpu as pltpu
 SENT = 0xFFFFFFFF
 L = 128
 
-#: Output chunk per grid program. Bigger chunks amortize DMA latency (the
-#: kernel is DMA-bound at small sizes): measured 134M-element merges on v5e
-#: ran 168/124/91/74/68 ms at CH = 2k/4k/8k/16k/32k. 16384 is the default
-#: (6x over lax.sort, comfortably inside VMEM for the keyed variant); tests
-#: shrink it via KRUST_MERGE_CHUNK for fast interpret-mode runs.
+#: Window (= network half) per grid program, power of two. Bigger windows
+#: amortize DMA latency (the kernel is DMA-bound at small sizes): measured
+#: 134M-element merges on v5e ran 168/124/91/74/68 ms at window = 4k/8k/
+#: 16k/32k/64k (pre-r3 layout). 16384 is the default (comfortably inside
+#: VMEM for the keyed variant); tests shrink it via KRUST_MERGE_CHUNK for
+#: fast interpret-mode runs.
 CH = int(os.environ.get("KRUST_MERGE_CHUNK", 16384))
-assert CH % (8 * L) == 0, "CH must be a multiple of 1024 (8 rows of 128)"
-WIN = CH + L  # aligned DMA window per input
-
-def _pow2_at_least(n):
-    p = 1
-    while p < n:
-        p *= 2
-    return p
-
-HALF = _pow2_at_least(WIN)  # network half (window padded with SENT)
+assert CH >= 2048 and (CH & (CH - 1)) == 0, "CH must be a power of two >= 2048"
+OUT = CH - 8 * L  # merged elements emitted per chunk (multiple of 1024)
+HALF = CH  # network half = the whole DMA window
 N = 2 * HALF  # merge network size
 R = N // L  # rows of the network layout
 
 
 def _diagonal_splits(a, b, m, n_chunks):
-    """Split i_c for each diagonal d = c*CH: first i_c of a + (d - i_c) of b
+    """Split i_c for each diagonal d = c*OUT: first i_c of a + (d - i_c) of b
     form the first d merged elements (vectorized bisection)."""
-    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * CH
+    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * OUT
     d = jnp.minimum(d, 2 * m)
     lo = jnp.maximum(0, d - m)
     hi = jnp.minimum(d, m)
@@ -165,8 +166,8 @@ def _oddeven_merge_multi(ops, n_keys):
     return ops
 
 
-WROWS = WIN // L  # window rows (17)
-HROWS = HALF // L  # half rows (32)
+WROWS = HALF // L  # window rows (the full network half is DMA'd)
+OROWS = OUT // L  # output rows per chunk
 
 
 def _merge_kernel(meta_ref, a_ref, b_ref, out_ref, sa, sb, sems):
@@ -176,17 +177,17 @@ def _merge_kernel(meta_ref, a_ref, b_ref, out_ref, sa, sb, sems):
     eb = meta_ref[0, 0, 3]
     r0 = meta_ref[0, 0, 4]  # off_a (0 -> chunk starts at row 0, else row 1)
     dma_a = pltpu.make_async_copy(
-        a_ref.at[pl.ds(pa, WROWS), :], sa.at[:WROWS], sems.at[0]
+        a_ref.at[pl.ds(pa, WROWS), :], sa, sems.at[0]
     )
     dma_b = pltpu.make_async_copy(
-        b_ref.at[pl.ds(pb, WROWS), :], sb.at[:WROWS], sems.at[1]
+        b_ref.at[pl.ds(pb, WROWS), :], sb, sems.at[1]
     )
     dma_a.start()
     dma_b.start()
     dma_a.wait()
     dma_b.wait()
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 1)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 1)
     idx = row_id * L + lane_id
     av = jnp.where(idx < ea, sa[:], jnp.uint32(SENT))
     bv = jnp.where(idx < eb, sb[:], jnp.uint32(SENT))
@@ -196,8 +197,7 @@ def _merge_kernel(meta_ref, a_ref, b_ref, out_ref, sa, sb, sems):
     xi = pltpu.bitcast(x ^ jnp.uint32(0x80000000), jnp.int32)
     mi = _oddeven_merge_2d(xi)
     merged = pltpu.bitcast(mi, jnp.uint32) ^ jnp.uint32(0x80000000)
-    rows = CH // L
-    out_ref[:] = jnp.where(r0 == 0, merged[:rows], merged[1 : rows + 1])
+    out_ref[:] = jnp.where(r0 == 0, merged[:OROWS], merged[1 : OROWS + 1])
 
 
 def _chunk_meta(splits, total):
@@ -209,8 +209,8 @@ def _chunk_meta(splits, total):
     n_chunks = splits.shape[0] - 1
     i0 = splits[:-1]
     i1 = splits[1:]
-    d = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * CH, total)
-    d1 = jnp.minimum(d + CH, total)
+    d = jnp.minimum(jnp.arange(n_chunks, dtype=jnp.int32) * OUT, total)
+    d1 = jnp.minimum(d + OUT, total)
     j0 = d - i0
     j1 = d1 - i1
     off_a = i0 % L
@@ -226,13 +226,13 @@ def _chunk_meta(splits, total):
 
 def _pad_a(x, fill):
     """Pad side-a input to row multiples + window slack, shaped [rows, L]."""
-    pad = (-(x.shape[0] + WIN + L) % L) + WIN + L
+    pad = (-(x.shape[0] + HALF + L) % L) + HALF + L
     return jnp.concatenate([x, jnp.full(pad, fill, x.dtype)]).reshape(-1, L)
 
 
 def _pad_b(x, fill, front):
     """Side-b input with the 128-element front pad enabling alignment."""
-    pad = (-(x.shape[0] + L + WIN + L) % L) + WIN + L
+    pad = (-(x.shape[0] + L + HALF + L) % L) + HALF + L
     return jnp.concatenate(
         [jnp.full(L, front, x.dtype), x, jnp.full(pad, fill, x.dtype)]
     ).reshape(-1, L)
@@ -246,12 +246,11 @@ def merge_sorted(a, b, interpret=False):
     m = a.shape[0]
     if m == 0:
         return jnp.zeros(0, jnp.uint32)
-    n_chunks = -(-2 * m // CH)
+    n_chunks = -(-2 * m // OUT)
     splits = _diagonal_splits(a, b, m, n_chunks).astype(jnp.int32)
     meta = _chunk_meta(splits, 2 * m)
     a_p = _pad_a(a, SENT)
     b_p = _pad_b(b, SENT, 0)
-    rows = CH // L
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
@@ -264,17 +263,17 @@ def merge_sorted(a, b, interpret=False):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (rows, L), lambda c: (c, 0), memory_space=pltpu.VMEM
+            (OROWS, L), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((HROWS, L), jnp.uint32),
-            pltpu.VMEM((HROWS, L), jnp.uint32),
+            pltpu.VMEM((WROWS, L), jnp.uint32),
+            pltpu.VMEM((WROWS, L), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         _merge_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_chunks * rows, L), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * OROWS, L), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, a_p, b_p)
@@ -288,7 +287,7 @@ def _diagonal_splits_kv(ah, al, bh, bl, ma, mb, n_chunks):
     """64-bit lexicographic variant of :func:`_diagonal_splits` (a wins ties,
     matching the in-kernel position tiebreak where a-half positions sort
     first). Supports unequal input lengths ma / mb."""
-    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * CH
+    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * OUT
     d = jnp.minimum(d, ma + mb)
     lo = jnp.maximum(0, d - mb)
     hi = jnp.minimum(d, ma)
@@ -329,7 +328,7 @@ def _merge_kv_kernel(
     eb = meta_ref[0, 0, 3]
     r0 = meta_ref[0, 0, 4]
     copies = [
-        pltpu.make_async_copy(r.at[pl.ds(p, WROWS), :], s.at[:WROWS], sems.at[i])
+        pltpu.make_async_copy(r.at[pl.ds(p, WROWS), :], s, sems.at[i])
         for i, (r, s, p) in enumerate(
             [
                 (ah_ref, sh, pa), (al_ref, sl, pa), (ac_ref, sc, pa),
@@ -341,8 +340,8 @@ def _merge_kv_kernel(
         c.start()
     for c in copies:
         c.wait()
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 0)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (HROWS, L), 1)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 1)
     idx = row_id * L + lane_id
     bias = jnp.uint32(0x80000000)
 
@@ -366,11 +365,10 @@ def _merge_kv_kernel(
     xp = rr * L + ll
     mh, ml, mp, mc = _oddeven_merge_multi((xh, xl, xp, xc), n_keys=3)
     del mp
-    rows = CH // L
     sel = r0 == 0
 
     def pick(v):
-        return jnp.where(sel, v[:rows], v[1 : rows + 1])
+        return jnp.where(sel, v[:OROWS], v[1 : OROWS + 1])
 
     oh_ref[:] = pltpu.bitcast(pick(mh), jnp.uint32) ^ bias
     ol_ref[:] = pltpu.bitcast(pick(ml), jnp.uint32) ^ bias
@@ -400,14 +398,13 @@ def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
     if ma == 0 or mb == 0:
         side = (bh, bl, bc) if ma == 0 else (ah, al, ac)
         return side
-    n_chunks = -(-total // CH)
+    n_chunks = -(-total // OUT)
     splits = _diagonal_splits_kv(ah, al, bh, bl, ma, mb, n_chunks).astype(jnp.int32)
     meta = _chunk_meta(splits, total)
     ins = (
         _pad_a(ah, SENT), _pad_a(al, SENT), _pad_a(ac, 0),
         _pad_b(bh, SENT, 0), _pad_b(bl, SENT, 0), _pad_b(bc, 0, 0),
     )
-    rows = CH // L
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
@@ -416,13 +413,13 @@ def merge_sorted_kv(ah, al, ac, bh, bl, bc, interpret=False):
         ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=(
-            pl.BlockSpec((rows, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((OROWS, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
         )
         * 3,
-        scratch_shapes=[pltpu.VMEM((HROWS, L), jnp.uint32)] * 6
+        scratch_shapes=[pltpu.VMEM((WROWS, L), jnp.uint32)] * 6
         + [pltpu.SemaphoreType.DMA((6,))],
     )
-    shape = jax.ShapeDtypeStruct((n_chunks * rows, L), jnp.uint32)
+    shape = jax.ShapeDtypeStruct((n_chunks * OROWS, L), jnp.uint32)
     oh, ol, oc = pl.pallas_call(
         _merge_kv_kernel,
         out_shape=(shape, shape, shape),

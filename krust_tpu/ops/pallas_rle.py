@@ -94,20 +94,39 @@ def _from_above(x, s, idx, fill):
     return jnp.where(idx < WN - s, _flat_roll(x, -s), fill)
 
 
-def _cumsum_i32(x, idx):
+def _hier_scan(x, combine):
+    """Inclusive scan over the flat row-major order, hierarchically: a
+    7-step within-row (lane) Hillis-Steele, then a tiny scan over the
+    [WROWS, 1] row aggregates, then one broadcast combine. ~2x cheaper than
+    the flat ``_flat_roll`` ladder: the sub-128 strides cost one lane roll
+    each instead of a two-roll blend, and the cross-row strides collapse to
+    a 1-lane column scan. The combine identity must be 0 (true for the
+    non-negative sums/maxima this kernel scans).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 1)
     s = 1
-    while s < WN:
-        x = x + _from_below(x, s, idx, 0)
+    while s < L:
+        x = combine(x, jnp.where(lane >= s, jnp.roll(x, s, axis=1), 0))
         s *= 2
-    return x
+    agg = x[:, L - 1 : L]  # inclusive per-row aggregate, [WROWS, 1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, 1), 0)
+    s = 1
+    while s < WROWS:
+        agg = combine(agg, jnp.where(row >= s, jnp.roll(agg, s, axis=0), 0))
+        s *= 2
+    # exclusive row prefix: shift the inclusive scan down one row
+    excl = jnp.where(row >= 1, jnp.roll(agg, 1, axis=0), 0)
+    return combine(x, excl)
+
+
+def _cumsum_i32(x, idx):
+    del idx
+    return _hier_scan(x, jnp.add)
 
 
 def _cummax_i32(x, idx):
-    s = 1
-    while s < WN:
-        x = jnp.maximum(x, _from_below(x, s, idx, 0))
-        s *= 2
-    return x
+    del idx
+    return _hier_scan(x, jnp.maximum)
 
 
 def _compress(arrs, emit, idx):
@@ -119,20 +138,24 @@ def _compress(arrs, emit, idx):
     e32 = emit.astype(jnp.int32)
     rank = _cumsum_i32(e32, idx) - e32  # exclusive rank among emits
     d = jnp.where(emit, idx - rank, 0)
-    # masks stay int32 (0/1): rolling i1 vectors does not lower on Mosaic
-    alive = e32
     outs = list(arrs)
+    # Strides stop at CH: emits only occur at idx < CH, so displacements
+    # are < CH and the top WN-stride stage of the full ladder is dead.
     b = 1
-    while b < WN:
-        move = jnp.where((alive != 0) & ((d & b) != 0), 1, 0)
+    while b < CH:
+        # masks stay int32 (0/1): rolling i1 vectors does not lower on Mosaic
+        move = jnp.where((d & b) != 0, 1, 0)
         mv_dst = _from_above(move, b, idx, 0)
         take = mv_dst != 0
         outs = [
             jnp.where(take, _from_above(o, b, idx, o.dtype.type(0)), o)
             for o in outs
         ]
-        d = jnp.where(take, _from_above(d, b, idx, 0) - b, d)
-        alive = jnp.maximum(alive - move, mv_dst)
+        # a slot that moved out and took nothing goes dead: clearing its
+        # displacement (instead of tracking a separate `alive` operand)
+        # guarantees it never routes again
+        d = jnp.where(take, _from_above(d, b, idx, 0) - b,
+                      jnp.where(move != 0, 0, d))
         b *= 2
     n_emit = jnp.sum(e32)
     return outs, n_emit

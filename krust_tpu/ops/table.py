@@ -99,6 +99,19 @@ def _pull_delta(hi: jax.Array, lo: jax.Array, cnt: jax.Array, cap: int):
     absolute code) emit the exception sentinel and are re-gathered exactly
     by the host. Works identically for every k — no hi plane at all.
     """
+    d = _delta_stream(hi, lo, cap, _DELTA_EXC)
+    b0 = (d & 0xFF).astype(jnp.uint8)
+    b1 = ((d >> 8) & 0xFF).astype(jnp.uint8)
+    b2 = ((d >> 16) & 0xFF).astype(jnp.uint8)
+    delta_b = jnp.stack([b0, b1, b2], axis=1).reshape(-1)
+    cnt8 = jnp.minimum(cnt[:cap], 0xFF).astype(jnp.uint8)
+    return jnp.concatenate([delta_b, cnt8])
+
+
+def _delta_stream(hi: jax.Array, lo: jax.Array, cap: int, exc: int):
+    """Consecutive-code deltas over the first ``cap`` entries, with ``exc``
+    standing in for entry 0 and any delta >= exc (shared by the 3-byte and
+    bit-packed pull variants)."""
     hi_c = hi[:cap]
     lo_c = lo[:cap]
     p_hi = jnp.roll(hi_c, 1).at[0].set(0)
@@ -106,14 +119,44 @@ def _pull_delta(hi: jax.Array, lo: jax.Array, cnt: jax.Array, cap: int):
     d_lo = lo_c - p_lo  # wrapping u32
     borrow = (lo_c < p_lo).astype(jnp.uint32)
     d_hi = hi_c - p_hi - borrow
-    small = (d_hi == 0) & (d_lo < _DELTA_EXC)
-    d = jnp.where(small, d_lo, _DELTA_EXC).at[0].set(_DELTA_EXC)
-    b0 = (d & 0xFF).astype(jnp.uint8)
-    b1 = ((d >> 8) & 0xFF).astype(jnp.uint8)
-    b2 = ((d >> 16) & 0xFF).astype(jnp.uint8)
-    delta_b = jnp.stack([b0, b1, b2], axis=1).reshape(-1)
-    cnt8 = jnp.minimum(cnt[:cap], 0xFF).astype(jnp.uint8)
-    return jnp.concatenate([delta_b, cnt8])
+    small = (d_hi == 0) & (d_lo < exc)
+    return jnp.where(small, d_lo, exc).at[0].set(exc)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "bits"))
+def _pull_delta_packed(
+    hi: jax.Array, lo: jax.Array, cnt: jax.Array, cap: int, bits: int
+):
+    """Entropy-coded pull: paired ``bits``-wide deltas + 4-bit counts.
+
+    The 3-byte delta plane of :func:`_pull_delta` spends 24 bits on deltas
+    whose mean is key-space / n — far less on dense tables. Packing delta
+    PAIRS at 16/20/24 bits each (4/5/6 bytes per pair) plus one shared
+    count byte per pair (two 4-bit saturating counts, 0xF = re-gather)
+    brings the pull to 2.5/3.0/3.5 bytes/entry. The all-ones ``bits``-wide
+    sentinel marks exceptions (entry 0, oversized deltas) whose absolute
+    codes the host re-gathers; counts >= 15 re-gather through the same
+    machinery as the 8-bit saturations. ``cap`` must be even.
+    """
+    exc = (1 << bits) - 1
+    d = _delta_stream(hi, lo, cap, exc)
+    d0 = d[0::2]
+    d1 = d[1::2]
+    planes = [(d0 & 0xFF), (d0 >> 8) & 0xFF]
+    if bits == 16:
+        planes += [(d1 & 0xFF), (d1 >> 8) & 0xFF]
+    elif bits == 20:
+        planes += [((d0 >> 16) & 0xF) | ((d1 & 0xF) << 4),
+                   (d1 >> 4) & 0xFF, (d1 >> 12) & 0xFF]
+    else:  # 24
+        planes += [(d0 >> 16) & 0xFF, d1 & 0xFF,
+                   (d1 >> 8) & 0xFF, (d1 >> 16) & 0xFF]
+    delta_b = jnp.stack(
+        [p.astype(jnp.uint8) for p in planes], axis=1
+    ).reshape(-1)
+    c4 = jnp.minimum(cnt[:cap], 0xF).astype(jnp.uint8)
+    cnt_b = c4[0::2] | (c4[1::2] << 4)
+    return jnp.concatenate([delta_b, cnt_b])
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -169,6 +212,7 @@ class DeviceTable:
         self._merge_n: jax.Array | None = None
         self._max_parts = max_parts
         self.windows_this_epoch = 0
+        self._windows_total = 0  # informs the finalize pull's count width
 
     # --- hooks ------------------------------------------------------------
 
@@ -189,6 +233,7 @@ class DeviceTable:
         self._parts.append(part)
         self._pending += part[0].shape[self.AXIS]
         self.windows_this_epoch += n_windows
+        self._windows_total += n_windows
         # batch up parts before merging: each window is sorted exactly once
         # regardless, so fewer merges = less per-merge overhead and fewer
         # resolve syncs; max_parts / the entry limit bound HBM held by
@@ -279,20 +324,32 @@ class DeviceTable:
         t_hi, t_lo, t_cnt = self._table
         cap = _pull_size(n, t_hi.shape[0])
 
-        # dense tables: 3-byte code deltas (mean gap = key-space / n, so
-        # exceptions are vanishing when the space is < ~n * 2^22); sparse
-        # tables: plane pull with the hi histogram trick
+        # dense tables: code deltas (mean gap = key-space / n, so exceptions
+        # are vanishing when the space is < ~n * 2^22); sparse tables: plane
+        # pull with the hi histogram trick. Dense tables with low expected
+        # duplication further bit-pack the deltas and ride 4-bit counts
+        # (2.5-3.5 B/entry vs 4).
         if (1 << (2 * self._k)) < (max(n, 1) << 22):
-            codes, counts = self._finalize_delta(t_hi, t_lo, t_cnt, n, cap)
+            mean_gap = max((1 << (2 * self._k)) // max(n, 1), 1)
+            mean_cnt = self._windows_total / max(n, 1)
+            if n >= 4096 and (self._windows_total == 0 or mean_cnt <= 6.0):
+                bits = next(
+                    (b for b in (16, 20, 24) if mean_gap * 8 <= (1 << b)), 24
+                )
+                codes, counts = self._finalize_delta_packed(
+                    t_hi, t_lo, t_cnt, n, cap, bits
+                )
+            else:
+                codes, counts = self._finalize_delta(t_hi, t_lo, t_cnt, n, cap)
         else:
             codes, counts = self._finalize_planes(t_hi, t_lo, t_cnt, n, cap)
         self._reset()
         return codes, counts
 
-    def _resolve_saturated(self, t_cnt, cnt8, n) -> np.ndarray:
-        """uint8 count plane -> exact u64 counts (re-gather 0xFF saturations)."""
+    def _resolve_saturated(self, t_cnt, cnt8, n, sat_val=0xFF) -> np.ndarray:
+        """Saturating count plane -> exact u64 counts (re-gather saturations)."""
         counts = cnt8.astype(np.uint64)
-        sat = np.flatnonzero(cnt8 == 0xFF)
+        sat = np.flatnonzero(cnt8 == sat_val)
         if sat.shape[0] > max(n // 8, 64):
             # saturation-heavy table (tiny k / extreme duplication): one
             # full-width count pull beats per-entry gathers
@@ -310,28 +367,62 @@ class DeviceTable:
         full[: idx.shape[0]] = idx
         return np.asarray(_gather_u32(arr, jnp.asarray(full)))[: idx.shape[0]]
 
-    def _finalize_delta(self, t_hi, t_lo, t_cnt, n, cap):
-        buf = _pull_host(_pull_delta(t_hi, t_lo, t_cnt, cap))
-        db = buf[: 3 * cap].reshape(cap, 3)[:n].astype(np.uint32)
-        cnt8 = buf[3 * cap : 4 * cap][:n]
-        deltas = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16)
+    def _codes_from_deltas(self, deltas, exc_val, t_hi, t_lo, n):
+        """Delta plane -> absolute sorted u64 codes (host side).
 
-        exc = np.flatnonzero(deltas == _DELTA_EXC)  # always includes entry 0
+        ``exc_val`` entries (entry 0 and oversized deltas) contribute 0 to
+        the running sum; their absolute codes are re-gathered and every
+        entry inherits the offset fixed by the last exception at or before
+        it (entry 0 is always an exception, so every entry is covered).
+        """
+        exc = np.flatnonzero(deltas == exc_val)
         prelim = np.cumsum(
-            np.where(deltas == _DELTA_EXC, 0, deltas).astype(np.uint64)
+            np.where(deltas == exc_val, 0, deltas).astype(np.uint64)
         )
         abs_codes = (self._gather(t_hi, exc).astype(np.uint64) << np.uint64(32)) | (
             self._gather(t_lo, exc).astype(np.uint64)
         )
-        # each entry inherits the offset fixed by the last exception at or
-        # before it (entry 0 is an exception, so every entry is covered)
         adj_at = np.zeros(n, np.uint64)
         adj_at[exc] = abs_codes - prelim[exc]
         is_exc = np.zeros(n, bool)
         is_exc[exc] = True
         last_exc = np.maximum.accumulate(np.where(is_exc, np.arange(n), 0))
-        codes = prelim + adj_at[last_exc]
+        return prelim + adj_at[last_exc]
+
+    def _finalize_delta(self, t_hi, t_lo, t_cnt, n, cap):
+        buf = _pull_host(_pull_delta(t_hi, t_lo, t_cnt, cap))
+        db = buf[: 3 * cap].reshape(cap, 3)[:n].astype(np.uint32)
+        cnt8 = buf[3 * cap : 4 * cap][:n]
+        deltas = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16)
+        codes = self._codes_from_deltas(deltas, _DELTA_EXC, t_hi, t_lo, n)
         return codes, self._resolve_saturated(t_cnt, cnt8, n)
+
+    def _finalize_delta_packed(self, t_hi, t_lo, t_cnt, n, cap, bits):
+        """Decode the bit-packed pull of :func:`_pull_delta_packed`."""
+        pair_bytes = {16: 4, 20: 5, 24: 6}[bits]
+        half = cap // 2
+        buf = _pull_host(_pull_delta_packed(t_hi, t_lo, t_cnt, cap, bits))
+        db = buf[: pair_bytes * half].reshape(half, pair_bytes).astype(np.uint32)
+        cb = buf[pair_bytes * half :]
+        if bits == 16:
+            d0 = db[:, 0] | (db[:, 1] << 8)
+            d1 = db[:, 2] | (db[:, 3] << 8)
+        elif bits == 20:
+            d0 = db[:, 0] | (db[:, 1] << 8) | ((db[:, 2] & 0xF) << 16)
+            d1 = (db[:, 2] >> 4) | (db[:, 3] << 4) | (db[:, 4] << 12)
+        else:
+            d0 = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16)
+            d1 = db[:, 3] | (db[:, 4] << 8) | (db[:, 5] << 16)
+        deltas = np.empty(cap, np.uint32)
+        deltas[0::2] = d0
+        deltas[1::2] = d1
+        deltas = deltas[:n]
+        codes = self._codes_from_deltas(deltas, (1 << bits) - 1, t_hi, t_lo, n)
+        c4 = np.empty(cap, np.uint8)
+        c4[0::2] = cb & 0xF
+        c4[1::2] = cb >> 4
+        counts = self._resolve_saturated(t_cnt, c4[:n], n, sat_val=0xF)
+        return codes, counts
 
     def _finalize_planes(self, t_hi, t_lo, t_cnt, n, cap):
         k = self._k

@@ -103,6 +103,68 @@ def test_table_delta_pull_exception_heavy():
     assert np.all(np.diff(codes.astype(np.int64)) > 0)
 
 
+def test_table_packed_delta_pull_exact():
+    """Bit-packed delta pull (16/20/24-bit pairs + 4-bit counts) is exact.
+
+    k picks the bit width via the mean-gap heuristic: k=12 -> 16-bit,
+    k=13 -> 20-bit, k=16 -> 24-bit at ~6k distinct codes. Counts include
+    values above the 4-bit saturation point (re-gathered exactly).
+    """
+    rng = np.random.default_rng(4)
+    for k, want_bits in ((12, 16), (13, 20), (16, 24)):
+        space = 1 << (2 * k)
+        codes = np.unique(rng.integers(0, space, size=6500, dtype=np.uint64))
+        assert codes.shape[0] >= 4096
+        cnts = rng.integers(1, 31, size=codes.shape[0], dtype=np.uint32)
+        table = DeviceTable(k=k, max_parts=2)
+        seen_bits = []
+        orig = DeviceTable._finalize_delta_packed
+
+        def spy(self, t_hi, t_lo, t_cnt, n, cap, bits, _orig=orig):
+            seen_bits.append(bits)
+            return _orig(self, t_hi, t_lo, t_cnt, n, cap, bits)
+
+        DeviceTable._finalize_delta_packed = spy
+        try:
+            hi = (codes >> np.uint64(32)).astype(np.uint32)
+            lo = codes.astype(np.uint32)
+            # weights-as-counts: the window total keeps mean count <= 6
+            table.add(hi, lo, cnts, n_windows=codes.shape[0])
+            got_codes, got_counts = table.finalize()
+        finally:
+            DeviceTable._finalize_delta_packed = orig
+        assert seen_bits == [want_bits], (k, seen_bits)
+        assert np.array_equal(got_codes, codes), k
+        assert np.array_equal(got_counts, cnts.astype(np.uint64)), k
+
+
+def test_table_packed_pull_declined_on_heavy_duplication():
+    """Mean count above the 4-bit regime keeps the 3-byte/8-bit pull."""
+    rng = np.random.default_rng(5)
+    codes = np.unique(rng.integers(0, 1 << 24, size=5000, dtype=np.uint64))
+    cnts = np.full(codes.shape[0], 200, np.uint32)
+    table = DeviceTable(k=12, max_parts=2)
+    called = []
+    orig = DeviceTable._finalize_delta_packed
+    DeviceTable._finalize_delta_packed = (
+        lambda self, *a, **kw: called.append(1) or orig(self, *a, **kw)
+    )
+    try:
+        # window total 200x the distinct count -> mean count 200 >> 6
+        table.add(
+            (codes >> np.uint64(32)).astype(np.uint32),
+            codes.astype(np.uint32),
+            cnts,
+            n_windows=codes.shape[0] * 200,
+        )
+        got_codes, got_counts = table.finalize()
+    finally:
+        DeviceTable._finalize_delta_packed = orig
+    assert not called
+    assert np.array_equal(got_codes, codes)
+    assert np.array_equal(got_counts, cnts.astype(np.uint64))
+
+
 class TestPullHost:
     """Sliced d2h pulls must be byte-identical to a single transfer."""
 

@@ -14,7 +14,9 @@
 //   - Output: one INVALID (4) code byte between records; per-base codes via
 //     the A/C/G/T (case-insensitive) LUT, everything else -> 4.
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -203,9 +205,17 @@ void krust_pack2(const uint8_t* codes, int64_t n, uint8_t* out) {
 
 // Fused stream scan: 2-bit pack + invalid-position extraction (+quality
 // fold) in ONE pass over the stream — the host side of the flat transfer
-// path (io/packer.py flat_batches). One pass matters: the engine host can be
-// a single slow core, and every extra numpy pass over a multi-hundred-MB
-// stream costs seconds.
+// path (io/packer.py flat_batches). One pass matters: every extra numpy
+// pass over a multi-hundred-MB stream costs seconds.
+//
+// Threaded over byte-aligned chunks: each worker packs its own packed2
+// range in place (output bytes are independent) and collects invalid
+// positions into a per-thread buffer; buffers stitch back in chunk order,
+// so invpos stays ascending exactly as the single-thread scan emits it.
+// Thread count: KRUST_NATIVE_THREADS env override (tests force >1 on
+// single-core hosts, where it also drops the size threshold so small
+// inputs exercise the stitch), else hardware_concurrency when the stream
+// is large enough to amortize thread spawns.
 //   codes/n:  input stream of 0..4 codes
 //   qual:     optional aligned quality bytes (nullptr when unused)
 //   thr:      quality threshold; bases with qual < thr are invalid (-1: off)
@@ -214,12 +224,19 @@ void krust_pack2(const uint8_t* codes, int64_t n, uint8_t* out) {
 // Returns the number of invalid positions found, or max_inv + 1 the moment
 // the count would exceed max_inv (early exit; caller falls back to the
 // dense-mask path and must discard the partial outputs).
-int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
-                          int32_t thr, uint8_t* packed2, int64_t* invpos,
-                          int64_t max_inv) {
-    int64_t n_inv = 0;
-    const int64_t full = n / 4;
-    for (int64_t b = 0; b < full; ++b) {
+
+namespace {
+
+// Scan output-byte range [b0, b1): pack into packed2, append invalid input
+// positions to inv (capped at cap entries; sets *overflow and stops early
+// when exceeded — the whole scan's outputs are discarded on overflow).
+void scan_range(const uint8_t* codes, const uint8_t* qual, int32_t thr,
+                uint8_t* packed2, int64_t b0, int64_t b1,
+                std::vector<int64_t>& inv, int64_t cap,
+                std::atomic<bool>* overflow) {
+    for (int64_t b = b0; b < b1; ++b) {
+        if ((b & 0xFFF) == 0 && overflow && overflow->load(std::memory_order_relaxed))
+            return;
         const int64_t i = b * 4;
         const uint8_t c0 = codes[i], c1 = codes[i + 1], c2 = codes[i + 2],
                       c3 = codes[i + 3];
@@ -230,12 +247,72 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
                       qual[i + 3] < thr))) {
             for (int j = 0; j < 4; ++j) {
                 if (codes[i + j] > 3 || (qual && qual[i + j] < thr)) {
-                    if (n_inv >= max_inv) return max_inv + 1;
-                    invpos[n_inv++] = i + j;  // int64: streams exceed 2^31
+                    if (static_cast<int64_t>(inv.size()) >= cap) {
+                        if (overflow) overflow->store(true, std::memory_order_relaxed);
+                        return;
+                    }
+                    inv.push_back(i + j);  // int64: streams exceed 2^31
                 }
             }
         }
     }
+}
+
+}  // namespace
+
+int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
+                          int32_t thr, uint8_t* packed2, int64_t* invpos,
+                          int64_t max_inv) {
+    const int64_t full = n / 4;
+
+    unsigned n_threads = 1;
+    int64_t parallel_min = int64_t(1) << 18;  // 1 MB of stream
+    if (const char* env = std::getenv("KRUST_NATIVE_THREADS")) {
+        const long forced = std::strtol(env, nullptr, 10);
+        if (forced > 1) {
+            n_threads = static_cast<unsigned>(forced > 64 ? 64 : forced);
+            parallel_min = 16;  // forced: exercise the stitch on tiny inputs
+        }
+    } else {
+        const unsigned hw = std::thread::hardware_concurrency();
+        n_threads = hw > 16 ? 16 : (hw ? hw : 1);
+    }
+
+    int64_t n_inv = 0;
+    if (n_threads > 1 && full >= parallel_min) {
+        const int64_t chunk = (full + n_threads - 1) / n_threads;
+        std::atomic<bool> overflow{false};
+        std::vector<std::vector<int64_t>> local(n_threads);
+        std::vector<std::thread> workers;
+        workers.reserve(n_threads);
+        for (unsigned t = 0; t < n_threads; ++t) {
+            const int64_t b0 = static_cast<int64_t>(t) * chunk;
+            const int64_t b1 = b0 + chunk < full ? b0 + chunk : full;
+            if (b0 >= b1) break;
+            // per-thread cap: one thread alone exceeding max_inv is overflow
+            workers.emplace_back([&, t, b0, b1] {
+                scan_range(codes, qual, thr, packed2, b0, b1, local[t],
+                           max_inv, &overflow);
+            });
+        }
+        for (auto& w : workers) w.join();
+        int64_t total = 0;
+        for (const auto& v : local) total += static_cast<int64_t>(v.size());
+        if (overflow.load(std::memory_order_relaxed) || total > max_inv)
+            return max_inv + 1;
+        for (const auto& v : local) {  // chunk order keeps invpos ascending
+            std::memcpy(invpos + n_inv, v.data(), v.size() * sizeof(int64_t));
+            n_inv += static_cast<int64_t>(v.size());
+        }
+    } else {
+        std::atomic<bool> overflow{false};
+        std::vector<int64_t> inv;
+        scan_range(codes, qual, thr, packed2, 0, full, inv, max_inv, &overflow);
+        if (overflow.load(std::memory_order_relaxed)) return max_inv + 1;
+        std::memcpy(invpos, inv.data(), inv.size() * sizeof(int64_t));
+        n_inv = static_cast<int64_t>(inv.size());
+    }
+
     if (n % 4) {
         uint8_t v = 0;
         for (int64_t i = full * 4; i < n; ++i) {

@@ -168,3 +168,101 @@ def test_scan_stream_early_exit_dirty():
         pytest.skip("native lib unavailable")
     _, _, n_inv = res
     assert n_inv == 11  # max_inv + 1 sentinel
+
+
+class TestThreadedScan:
+    """Forced multi-thread scan (KRUST_NATIVE_THREADS) vs the oracles.
+
+    This rig has one core, so auto mode never parallelizes; the env
+    override forces the chunked scan + per-thread invpos stitch so its
+    ordering/overflow logic is covered everywhere (the threshold drops to
+    64 bases when forced, reference for the pack analog: krust_pack2).
+    """
+
+    def _forced(self, monkeypatch, n_threads=4):
+        monkeypatch.setenv("KRUST_NATIVE_THREADS", str(n_threads))
+
+    def test_matches_single_thread(self, monkeypatch):
+        rng = np.random.default_rng(77)
+        for n in (64, 257, 1000, 4099, 65537):
+            codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+            codes[rng.random(n) < 0.02] = 4
+            monkeypatch.delenv("KRUST_NATIVE_THREADS", raising=False)
+            single = native.scan_stream_native(codes, None, None, n)
+            if single is None:
+                pytest.skip("native lib unavailable")
+            self._forced(monkeypatch)
+            threaded = native.scan_stream_native(codes, None, None, n)
+            np.testing.assert_array_equal(threaded[0], single[0])
+            np.testing.assert_array_equal(threaded[1], single[1])
+            assert threaded[2] == single[2]
+
+    def test_invpos_ascending_across_chunks(self, monkeypatch):
+        self._forced(monkeypatch, 8)
+        codes = np.zeros(8192, np.uint8)
+        codes[::97] = 4  # invalids span every chunk
+        res = native.scan_stream_native(codes, None, None, 8192)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        _, inv, n_inv = res
+        assert n_inv == len(range(0, 8192, 97))
+        assert (np.diff(inv) > 0).all()
+        np.testing.assert_array_equal(inv, np.arange(0, 8192, 97))
+
+    def test_overflow_sentinel(self, monkeypatch):
+        self._forced(monkeypatch)
+        codes = np.full(4096, 4, np.uint8)
+        res = native.scan_stream_native(codes, None, None, 10)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        assert res[2] == 11  # max_inv + 1
+
+    def test_exactly_max_inv_is_clean(self, monkeypatch):
+        self._forced(monkeypatch)
+        codes = np.zeros(4096, np.uint8)
+        pos = np.array([5, 600, 1500, 2500, 3500], np.int64)
+        codes[pos] = 4
+        res = native.scan_stream_native(codes, None, None, 5)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        packed2, inv, n_inv = res
+        assert n_inv == 5
+        np.testing.assert_array_equal(inv, pos)
+        from krust_tpu.io.packer import pack2_full
+        np.testing.assert_array_equal(packed2, pack2_full(codes))
+
+    def test_overflow_split_across_threads(self, monkeypatch):
+        # each thread stays under max_inv but the total exceeds it
+        self._forced(monkeypatch, 4)
+        codes = np.zeros(4096, np.uint8)
+        codes[np.linspace(0, 4095, 12).astype(np.int64)] = 4
+        res = native.scan_stream_native(codes, None, None, 10)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        assert res[2] == 11
+
+    def test_quality_fold_threaded(self, monkeypatch):
+        self._forced(monkeypatch)
+        rng = np.random.default_rng(13)
+        n = 2048
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        qual = rng.integers(30, 80, size=n, dtype=np.uint8)
+        monkeypatch.delenv("KRUST_NATIVE_THREADS", raising=False)
+        single = native.scan_stream_native(codes, qual, 53, n)
+        if single is None:
+            pytest.skip("native lib unavailable")
+        self._forced(monkeypatch)
+        threaded = native.scan_stream_native(codes, qual, 53, n)
+        np.testing.assert_array_equal(threaded[1], single[1])
+        assert threaded[2] == single[2]
+
+    def test_tail_bases_threaded(self, monkeypatch):
+        self._forced(monkeypatch)
+        codes = np.array([0, 1, 2, 3] * 40 + [3, 4, 1], np.uint8)
+        from krust_tpu.io.packer import invalid_positions, pack2_full
+        res = native.scan_stream_native(codes, None, None, 16)
+        if res is None:
+            pytest.skip("native lib unavailable")
+        packed2, inv, n_inv = res
+        np.testing.assert_array_equal(inv, invalid_positions(codes))
+        np.testing.assert_array_equal(packed2, pack2_full(codes))

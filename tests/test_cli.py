@@ -293,3 +293,78 @@ class TestRound3Parity:
         r = kmix("3", simple_fq, "-Q", "94")
         assert r.returncode == 1
         assert b"between 0 and 93" in r.stderr
+
+
+class TestReferenceIntegrationParity2:
+    """Remaining integration combos (reference: tests/integration_tests.rs,
+    cli_kmer_length_1/32, cli_stdin_*, cli_histogram_*, cli_save_flag_*,
+    cli_gzip_fastq_counting, cli_query_help) — asserted exactly where the
+    reference only asserts shape."""
+
+    def test_k1_exact(self, simple_fa):
+        # ACGTACGT + GATTACA at k=1: A/T->A (9), C/G->C (6)
+        r = kmix("1", simple_fa, "-f", "tsv", "-q")
+        assert r.returncode == 0
+        assert parse_tsv(r.stdout) == {"A": 9, "C": 6}
+
+    def test_k32_no_windows_succeeds(self, simple_fa):
+        # no record reaches 32 bases; empty output, still exit 0
+        r = kmix("32", simple_fa, "-f", "tsv", "-q")
+        assert r.returncode == 0
+        assert r.stdout == b""
+
+    def test_stdin_multiple_sequences_json(self):
+        data = b">s1\nAAAA\n>s2\nTTTT\n>s3\nAAAA\n"
+        r = kmix("3", "-", "-f", "json", "-q", stdin=data)
+        assert r.returncode == 0
+        assert json.loads(r.stdout) == [{"kmer": "AAA", "count": 6}]
+
+    def test_histogram_sums_to_distinct(self, simple_fa):
+        tsv = kmix("3", simple_fa, "-f", "tsv", "-q")
+        hist = kmix("3", simple_fa, "-f", "histogram", "-q")
+        distinct = len(tsv.stdout.decode().strip().splitlines())
+        freq_sum = sum(
+            int(line.split("\t")[1])
+            for line in hist.stdout.decode().strip().splitlines()
+        )
+        assert distinct == freq_sum
+
+    def test_histogram_with_min_count(self, simple_fa):
+        # counts {ACG:4, GTA:3, 4 singletons}; -m 2 drops the singleton row
+        r = kmix("3", simple_fa, "-f", "histogram", "-m", "2", "-q")
+        assert r.returncode == 0
+        assert r.stdout.decode() == "3\t1\n4\t1\n"
+
+    def test_histogram_sorted_ascending(self, simple_fa):
+        r = kmix("3", simple_fa, "-f", "histogram", "-q")
+        counts = [
+            int(line.split("\t")[0])
+            for line in r.stdout.decode().strip().splitlines()
+        ]
+        assert counts == sorted(counts)
+
+    def test_histogram_stdin(self):
+        # AAAAAAAA: six AAA windows, one distinct k-mer -> row "6\t1"
+        r = kmix("3", "-", "-f", "histogram", "-q", stdin=b">seq1\nAAAAAAAA\n")
+        assert r.returncode == 0
+        assert r.stdout.decode() == "6\t1\n"
+
+    def test_gzip_fastq_equals_plain(self, fixtures_dir):
+        rp = kmix("5", str(fixtures_dir / "simple.fq"), "-f", "tsv", "-q")
+        rg = kmix("5", str(fixtures_dir / "simple.fq.gz"), "-f", "tsv", "-q")
+        assert rg.returncode == 0
+        assert parse_tsv(rg.stdout) == parse_tsv(rp.stdout)
+
+    def test_save_prints_counts_and_saves(self, simple_fa, tmp_path):
+        # non-quiet --save: banner on stderr, counts on stdout, index written
+        out = str(tmp_path / "both.kmix")
+        r = kmix("3", simple_fa, "--save", out, "-f", "tsv")
+        assert r.returncode == 0
+        assert parse_tsv(r.stdout) == SIMPLE_EXPECTED_K3
+        assert b"k-length" in r.stderr
+        assert open(out, "rb").read(4) == b"KMIX"
+
+    def test_query_help(self):
+        r = kmix("query", "-h")
+        assert r.returncode == 0
+        assert b"usage" in r.stdout.lower() or b"usage" in r.stderr.lower()

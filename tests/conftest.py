@@ -25,18 +25,41 @@ jax.config.update("jax_platforms", "cpu")
 import pytest as _pytest  # noqa: E402
 
 
+# Modules whose tests compile large numbers of DISTINCT executables
+# (interpret-mode Pallas kernels over shape sweeps, all-k differential
+# sweeps, hypothesis-generated shapes). Only these push the live-executable
+# population toward the XLA-CPU JIT crash threshold; the api/builder/cli
+# cluster reuses a handful of count-path executables and benefits from
+# keeping them compiled.
+_HEAVY_COMPILE_MODULES = {
+    "test_pallas",
+    "test_pallas_merge",
+    "test_pallas_rle",
+    "test_flat",
+    "test_table",
+    "test_epoch_table",
+    "test_sharded",
+    "test_properties",
+    "test_api",
+    "test_codec",
+}
+
+
 @_pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
-    """Drop compiled executables between test modules.
+def _clear_jax_caches_per_module(request):
+    """Drop compiled executables after heavy-compile test modules.
 
     The full suite compiles many hundreds of CPU executables in one
     process; past ~450 tests the XLA CPU JIT segfaults inside a fresh
     compile (observed deterministically at the same test, which passes in
-    any smaller run). Clearing per module keeps the live-executable
-    population bounded at the cost of some intra-suite recompilation.
+    any smaller run). Clearing after each module in _HEAVY_COMPILE_MODULES
+    keeps the live-executable population bounded; light modules keep their
+    (shared) executables to avoid the recompilation tax of a blanket
+    per-module clear.
     """
     yield
-    jax.clear_caches()
+    if request.module.__name__.rpartition(".")[2] in _HEAVY_COMPILE_MODULES:
+        jax.clear_caches()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -258,12 +258,15 @@ def run_child(bases: int, events_path: str) -> None:
 
     on_tpu = platform not in ("cpu", "gpu")
     if on_tpu:
-        cfg = EngineConfig()
+        engine = BatchEngine(EngineConfig())
     else:
-        # CPU fallback: pure-XLA pipeline (interpret-mode Pallas would be
-        # Python-speed); same engine structure, honest but slow platform
-        cfg = EngineConfig(use_epoch_sort=False, use_pallas=False)
-    engine = BatchEngine(cfg)
+        # CPU fallback: the native host engine (rolling canonical + sort +
+        # RLE in C++) — the framework's real no-accelerator path, ~50x the
+        # XLA-CPU pipeline on one core; the result is still labeled
+        # platform=cpu / degraded by the parent
+        from krust_tpu.models.engines import NativeEngine
+
+        engine = NativeEngine(EngineConfig())
 
     # warmup: one full pass compiles every shape in the pipeline (batch
     # buckets AND table-merge sizes); remote compiles are minutes-slow and
@@ -274,8 +277,23 @@ def run_child(bases: int, events_path: str) -> None:
     emit("warmup_done", elapsed=round(time.perf_counter() - t0, 1))
 
     # pass 1: phase-instrumented (emits value + phases + compute-only the
-    # moment it completes — a later wedge can't erase it)
-    _staged_pass(engine, streams, emit)
+    # moment it completes — a later wedge can't erase it). The host engine
+    # has no transfer phases: its whole pass IS compute.
+    if on_tpu:
+        _staged_pass(engine, streams, emit)
+    else:
+        t0 = time.perf_counter()
+        result = engine.count(streams, K)
+        dt = time.perf_counter() - t0
+        emit(
+            "pass",
+            kind="staged",
+            elapsed=round(dt, 3),
+            phases={"pack": 0.0, "feed": 0.0, "compute": round(dt, 3),
+                    "finalize": 0.0},
+            distinct=result.distinct,
+            total=result.total,
+        )
 
     # up to 2 clean passes: the tunneled link's throughput varies ~2x
     # run-to-run AND degrades under sustained transfer load, so few passes

@@ -83,6 +83,13 @@ def _get_lib() -> ctypes.CDLL | None:
                 u8p, ctypes.c_int64, u8p, ctypes.c_int32, u8p, i64p,
                 ctypes.c_int64,
             ]
+        if hasattr(lib, "krust_count_stream"):
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            lib.krust_count_stream.restype = ctypes.c_int64
+            lib.krust_count_stream.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int32, ctypes.c_int32,
+                u64p, u64p,
+            ]
         _LIB = lib
     return _LIB
 
@@ -166,6 +173,48 @@ def scan_stream_native(
     if n_inv > max_inv:
         return packed2[:0], invpos[:0], n_inv
     return packed2[: -(-n // 4)] if n else packed2[:0], invpos[:n_inv], n_inv
+
+
+def count_stream_native(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    quality_threshold: int | None,
+    k: int,
+):
+    """Full host count: (sorted unique u64 codes, u64 counts) or None.
+
+    Rolling canonical encode + sort + RLE in one native call — the host
+    counting core for machines without an accelerator (same exactness
+    semantics as models/engines.count_stream_numpy, differentially tested).
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "krust_count_stream"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    t = n - k + 1
+    if t <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+    out_codes = np.empty(t, dtype=np.uint64)
+    out_counts = np.empty(t, dtype=np.uint64)
+    qp = None
+    thr = -1
+    if qual is not None and quality_threshold is not None:
+        qual = np.ascontiguousarray(qual, dtype=np.uint8)
+        qp = _as_u8p(qual)
+        thr = quality_threshold
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n_unique = lib.krust_count_stream(
+        _as_u8p(codes),
+        n,
+        qp,
+        thr,
+        k,
+        out_codes.ctypes.data_as(u64p),
+        out_counts.ctypes.data_as(u64p),
+    )
+    # copies release the t-sized scratch immediately (t >> n_unique usually)
+    return out_codes[:n_unique].copy(), out_counts[:n_unique].copy()
 
 
 def parse_fastq_native(data: bytes):

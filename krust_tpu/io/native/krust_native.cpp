@@ -14,6 +14,7 @@
 //   - Output: one INVALID (4) code byte between records; per-base codes via
 //     the A/C/G/T (case-insensitive) LUT, everything else -> 4.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
@@ -325,6 +326,59 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
         packed2[full] = v;
     }
     return n_inv;
+}
+
+// Host counting core: rolling canonical codes -> sort -> RLE, in one call.
+// The sort-based design mirrors the TPU engine (sorting IS the reduction
+// primitive there; see ops/table.py) rather than the reference's concurrent
+// hash map (reference: src/run.rs:489-583) — on a host it also wins: the
+// rolling emit is ~5 ns/base and std::sort dominates, beating per-window
+// hash updates and allocations. Serves machines without an accelerator and
+// the bench's CPU fallback.
+//   codes/n:   input stream of 0..4 codes (4 = separator/invalid)
+//   qual/thr:  optional aligned quality bytes; bases with qual < thr are
+//              invalid (thr -1: off)
+//   k:         1..=32
+//   out_codes: caller buffer, capacity max(n - k + 1, 1) u64 entries;
+//              returns the sorted unique canonical codes in its prefix
+//   out_counts: caller buffer, same capacity; per-unique counts
+// Returns the number of unique canonical k-mers (0 when no window fits).
+int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
+                           int32_t thr, int32_t k, uint64_t* out_codes,
+                           uint64_t* out_counts) {
+    if (k < 1 || k > 32 || n < k) return 0;
+    const uint64_t mask =
+        k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int rc_shift = 2 * (k - 1);
+    uint64_t fwd = 0, rc = 0;
+    int run = 0;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t c = codes[i];
+        if (c > 3 || (qual && qual[i] < thr)) {
+            run = 0;
+            fwd = 0;
+            rc = 0;
+            continue;
+        }
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << rc_shift);
+        if (++run >= k) out_codes[m++] = fwd < rc ? fwd : rc;
+    }
+    if (m == 0) return 0;
+    std::sort(out_codes, out_codes + m);
+    int64_t u = 0;
+    out_counts[0] = 1;
+    for (int64_t j = 1; j < m; ++j) {
+        if (out_codes[j] != out_codes[u]) {
+            ++u;
+            out_codes[u] = out_codes[j];
+            out_counts[u] = 1;
+        } else {
+            ++out_counts[u];
+        }
+    }
+    return u + 1;
 }
 
 }  // extern "C"

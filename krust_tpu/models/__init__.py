@@ -3,6 +3,7 @@
 from .engines import (
     PackedCounts,
     BatchEngine,
+    NativeEngine,
     NumpyEngine,
     SequentialEngine,
     count_streams,
@@ -11,6 +12,7 @@ from .engines import (
 __all__ = [
     "PackedCounts",
     "BatchEngine",
+    "NativeEngine",
     "NumpyEngine",
     "SequentialEngine",
     "count_streams",

@@ -220,8 +220,33 @@ def count_stream_numpy(
     return np.unique(canon[valid], return_counts=True)
 
 
+def count_stream_host(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    k: int,
+    quality_threshold: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best host path: native C++ rolling+sort core, numpy fallback.
+
+    The native core (io/native/krust_native.cpp krust_count_stream) is the
+    sort-based host twin of the TPU engine — ~50x the pure-numpy path on a
+    single core — used when no accelerator is available.
+    """
+    from ..io import native as _native
+
+    res = _native.count_stream_native(codes, qual, quality_threshold, k)
+    if res is not None:
+        return res
+    return count_stream_numpy(codes, qual, k, quality_threshold)
+
+
 class NumpyEngine:
-    """Pure-host engine; exact, no accelerator required."""
+    """Pure-host engine; exact, no accelerator required.
+
+    Stays pure numpy on purpose: it is the mid-level oracle of the 3-way
+    differential (device / numpy / brute-force, SURVEY.md §4). The fast
+    host path for production fallback is :class:`NativeEngine`.
+    """
 
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
@@ -243,6 +268,35 @@ class NumpyEngine:
                 progress(tracker.snapshot())
         counts = cnt.astype(np.uint64)
         return PackedCounts(k, uniq, counts)
+
+
+class NativeEngine:
+    """Host engine on the native C++ counting core (numpy fallback).
+
+    The no-accelerator production engine: rolling canonical encode + sort +
+    RLE in one native call — the same sort-based design as the device
+    engine, not the reference's hash map (reference: src/run.rs:489-583).
+    """
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+
+    def count(
+        self,
+        streams: ParsedStreams,
+        k: int,
+        min_quality: int | None = None,
+        progress: ProgressCallback | None = None,
+        tracker: ProgressTracker | None = None,
+    ) -> PackedCounts:
+        thr = _quality_threshold(min_quality) if streams.qual is not None else None
+        with span("process_sequences", engine="native", k=k):
+            uniq, cnt = count_stream_host(streams.codes, streams.qual, k, thr)
+        if tracker is not None:
+            tracker.record_batch(streams.n_records, streams.n_bases)
+            if progress is not None:
+                progress(tracker.snapshot())
+        return PackedCounts(k, uniq, cnt.astype(np.uint64))
 
 
 # --- device batch engine ----------------------------------------------------------
@@ -569,8 +623,10 @@ def count_streams(
 ) -> PackedCounts:
     """Count with the best available engine (device if usable, else numpy)."""
     cfg = config or EngineConfig()
-    if cfg.use_numpy_backend or not _jax_usable():
-        engine = NumpyEngine(cfg)
+    if cfg.use_numpy_backend:
+        engine = NumpyEngine(cfg)  # explicit request: the pure-numpy oracle
+    elif not _jax_usable():
+        engine = NativeEngine(cfg) if cfg.use_native_host else NumpyEngine(cfg)
     else:
         engine = BatchEngine(cfg)
     return engine.count(streams, k, min_quality, progress, tracker)
@@ -596,10 +652,15 @@ def count_chunked_streams(
         return BatchEngine(cfg).count_chunked(
             chunks, k, min_quality, progress, tracker
         )
+    count_fn = (
+        count_stream_host
+        if (cfg.use_native_host and not cfg.use_numpy_backend)
+        else count_stream_numpy
+    )
     acc = _HostAccumulator(cfg.host_compact_threshold)
     for streams in chunks:
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
-        uniq, cnt = count_stream_numpy(streams.codes, streams.qual, k, thr)
+        uniq, cnt = count_fn(streams.codes, streams.qual, k, thr)
         acc.add(uniq, cnt.astype(np.uint64))
         if tracker is not None:
             tracker.record_batch(streams.n_records, streams.n_bases)

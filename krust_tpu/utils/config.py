@@ -29,6 +29,11 @@ class EngineConfig:
     #: usable accelerator and for differential testing
     use_numpy_backend: bool = False
 
+    #: when no accelerator is usable, count on the native C++ host core
+    #: (rolling canonical + sort + RLE) instead of pure numpy; numpy remains
+    #: the automatic fallback when the native lib can't build
+    use_native_host: bool = True
+
     #: use the Pallas TPU kernel for the rolling codec when available
     use_pallas: bool = True
 

@@ -266,3 +266,65 @@ class TestThreadedScan:
         packed2, inv, n_inv = res
         np.testing.assert_array_equal(inv, invalid_positions(codes))
         np.testing.assert_array_equal(packed2, pack2_full(codes))
+
+
+class TestNativeCountStream:
+    """Native host counting core vs the numpy oracle (io/native.py
+    count_stream_native; the no-accelerator production path)."""
+
+    def test_differential_all_k_regimes(self):
+        rng = np.random.default_rng(3)
+        from krust_tpu.models.engines import count_stream_numpy
+
+        for k in (1, 2, 15, 16, 21, 31, 32):
+            for n in (0, k - 1, k, 100, 5000):
+                codes = rng.integers(0, 4, size=max(n, 0), dtype=np.uint8)
+                if n > 10:
+                    codes[rng.random(n) < 0.05] = 4
+                exp = count_stream_numpy(codes, None, k)
+                got = native.count_stream_native(codes, None, None, k)
+                if got is None:
+                    pytest.skip("native lib unavailable")
+                np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+                np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+
+    def test_quality_threshold(self):
+        rng = np.random.default_rng(9)
+        from krust_tpu.models.engines import count_stream_numpy
+
+        n = 3000
+        codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+        qual = rng.integers(0, 80, size=n, dtype=np.uint8)
+        for k in (3, 16, 32):
+            exp = count_stream_numpy(codes, qual, k, 40)
+            got = native.count_stream_native(codes, qual, 40, k)
+            if got is None:
+                pytest.skip("native lib unavailable")
+            np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+            np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+
+    def test_separator_resets_window(self):
+        # ACG | T ACG: separator kills windows spanning it (k=3)
+        codes = np.array([0, 1, 2, 4, 3, 0, 1, 2], np.uint8)
+        got = native.count_stream_native(codes, None, None, 3)
+        if got is None:
+            pytest.skip("native lib unavailable")
+        # windows: ACG (twice: once before sep, once after TAC->...):
+        # before sep: ACG; after: TAC, ACG -> canonical {ACG:2, TAC->GTA:1}
+        from krust_tpu.models.engines import count_stream_numpy
+        exp = count_stream_numpy(codes, None, 3)
+        np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+        np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+
+    def test_native_engine_matches_numpy_engine(self):
+        from krust_tpu.io.reader import ParsedStreams
+        from krust_tpu.models.engines import NativeEngine, NumpyEngine
+
+        rng = np.random.default_rng(21)
+        codes = rng.integers(0, 5, size=20000, dtype=np.uint8).astype(np.uint8)
+        streams = ParsedStreams(codes, None, 1, int((codes < 4).sum()))
+        for k in (5, 21):
+            a = NativeEngine().count(streams, k)
+            b = NumpyEngine().count(streams, k)
+            np.testing.assert_array_equal(a.codes, b.codes)
+            np.testing.assert_array_equal(a.counts, b.counts)

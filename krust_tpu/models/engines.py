@@ -613,6 +613,50 @@ def _jax_usable() -> bool:
         return False
 
 
+def _jax_backend() -> str | None:
+    try:
+        import jax
+
+        return jax.default_backend()
+    except Exception:
+        return None
+
+
+def _cpu_platform_forced() -> bool:
+    """True when the user explicitly asked for the jax-CPU platform.
+
+    KRUST_PLATFORM=cpu is the documented way to exercise the jax pipeline
+    without an accelerator (tests, CI, the 8-device virtual mesh); honoring
+    it keeps auto-dispatch from silently rerouting those runs to the host
+    core.
+    """
+    import os
+
+    return os.environ.get("KRUST_PLATFORM", "").lower() == "cpu"
+
+
+def select_engine(cfg: EngineConfig):
+    """The best available engine for this config and machine.
+
+    Dispatch order: explicit numpy request -> pure-numpy oracle; no usable
+    jax -> native host core; jax usable but its best backend is plain CPU
+    (no accelerator) -> native host core too, UNLESS the CPU platform was
+    explicitly forced (the XLA-CPU pipeline exists for testing, not speed —
+    the C++ core is ~50x faster single-core); otherwise the device engine.
+    """
+    if cfg.use_numpy_backend:
+        return NumpyEngine(cfg)  # explicit request: the pure-numpy oracle
+    if not _jax_usable():
+        return NativeEngine(cfg) if cfg.use_native_host else NumpyEngine(cfg)
+    if (
+        cfg.use_native_host
+        and _jax_backend() == "cpu"
+        and not _cpu_platform_forced()
+    ):
+        return NativeEngine(cfg)
+    return BatchEngine(cfg)
+
+
 def count_streams(
     streams: ParsedStreams,
     k: int,
@@ -621,14 +665,9 @@ def count_streams(
     progress: ProgressCallback | None = None,
     tracker: ProgressTracker | None = None,
 ) -> PackedCounts:
-    """Count with the best available engine (device if usable, else numpy)."""
+    """Count with the best available engine (see :func:`select_engine`)."""
     cfg = config or EngineConfig()
-    if cfg.use_numpy_backend:
-        engine = NumpyEngine(cfg)  # explicit request: the pure-numpy oracle
-    elif not _jax_usable():
-        engine = NativeEngine(cfg) if cfg.use_native_host else NumpyEngine(cfg)
-    else:
-        engine = BatchEngine(cfg)
+    engine = select_engine(cfg)
     return engine.count(streams, k, min_quality, progress, tracker)
 
 
@@ -648,13 +687,12 @@ def count_chunked_streams(
     stays at O(chunk + tables) for arbitrarily large pipes.
     """
     cfg = config or EngineConfig()
-    if not (cfg.use_numpy_backend or not _jax_usable()):
-        return BatchEngine(cfg).count_chunked(
-            chunks, k, min_quality, progress, tracker
-        )
+    engine = select_engine(cfg)
+    if isinstance(engine, BatchEngine):
+        return engine.count_chunked(chunks, k, min_quality, progress, tracker)
     count_fn = (
         count_stream_host
-        if (cfg.use_native_host and not cfg.use_numpy_backend)
+        if isinstance(engine, NativeEngine)
         else count_stream_numpy
     )
     acc = _HostAccumulator(cfg.host_compact_threshold)

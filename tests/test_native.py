@@ -328,3 +328,48 @@ class TestNativeCountStream:
             b = NumpyEngine().count(streams, k)
             np.testing.assert_array_equal(a.codes, b.codes)
             np.testing.assert_array_equal(a.counts, b.counts)
+
+
+class TestEngineDispatch:
+    """select_engine routing: the native host core is the production
+    choice on accelerator-less machines; forcing the CPU platform keeps
+    the jax pipeline (tests/CI exercise it that way)."""
+
+    def test_cpu_backend_unforced_routes_native(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: True)
+        monkeypatch.setattr(eng, "_jax_backend", lambda: "cpu")
+        monkeypatch.delenv("KRUST_PLATFORM", raising=False)
+        assert isinstance(eng.select_engine(eng.EngineConfig()), eng.NativeEngine)
+
+    def test_cpu_platform_forced_keeps_batch(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: True)
+        monkeypatch.setattr(eng, "_jax_backend", lambda: "cpu")
+        monkeypatch.setenv("KRUST_PLATFORM", "cpu")
+        assert isinstance(eng.select_engine(eng.EngineConfig()), eng.BatchEngine)
+
+    def test_accelerator_routes_batch(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: True)
+        monkeypatch.setattr(eng, "_jax_backend", lambda: "tpu")
+        monkeypatch.delenv("KRUST_PLATFORM", raising=False)
+        assert isinstance(eng.select_engine(eng.EngineConfig()), eng.BatchEngine)
+
+    def test_no_jax_routes_native_then_numpy(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: False)
+        assert isinstance(eng.select_engine(eng.EngineConfig()), eng.NativeEngine)
+        cfg = eng.EngineConfig(use_native_host=False)
+        assert isinstance(eng.select_engine(cfg), eng.NumpyEngine)
+
+    def test_numpy_request_wins(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: True)
+        cfg = eng.EngineConfig(use_numpy_backend=True)
+        assert isinstance(eng.select_engine(cfg), eng.NumpyEngine)

@@ -175,6 +175,34 @@ def scan_stream_native(
     return packed2[: -(-n // 4)] if n else packed2[:0], invpos[:n_inv], n_inv
 
 
+# Reused (codes, counts) scratch for count_stream_native: repeat counts at
+# a steady batch size would otherwise pay a fresh ~2x8B/window page-fault
+# storm per call (measured ~0.3 s per 59M-window pass). One cached pair,
+# handed out under a lock; a concurrent second caller allocates transient
+# buffers instead of blocking.
+_COUNT_SCRATCH: list[np.ndarray] | None = None
+_COUNT_SCRATCH_LOCK = threading.Lock()
+
+
+def _lease_count_scratch(t: int):
+    """-> (out_codes, out_counts); callers hand the pair back when done."""
+    global _COUNT_SCRATCH
+    if _COUNT_SCRATCH_LOCK.acquire(blocking=False):
+        pair = _COUNT_SCRATCH
+        _COUNT_SCRATCH = None
+        _COUNT_SCRATCH_LOCK.release()
+        if pair is not None and pair[0].shape[0] >= t:
+            return pair[0], pair[1]
+    return np.empty(t, dtype=np.uint64), np.empty(t, dtype=np.uint64)
+
+
+def _return_count_scratch(out_codes: np.ndarray, out_counts: np.ndarray):
+    global _COUNT_SCRATCH
+    with _COUNT_SCRATCH_LOCK:
+        if _COUNT_SCRATCH is None or _COUNT_SCRATCH[0].shape[0] < out_codes.shape[0]:
+            _COUNT_SCRATCH = [out_codes, out_counts]
+
+
 def count_stream_native(
     codes: np.ndarray,
     qual: np.ndarray | None,
@@ -195,8 +223,7 @@ def count_stream_native(
     t = n - k + 1
     if t <= 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    out_codes = np.empty(t, dtype=np.uint64)
-    out_counts = np.empty(t, dtype=np.uint64)
+    out_codes, out_counts = _lease_count_scratch(t)
     qp = None
     thr = -1
     if qual is not None and quality_threshold is not None:
@@ -214,7 +241,9 @@ def count_stream_native(
         out_counts.ctypes.data_as(u64p),
     )
     # copies release the t-sized scratch immediately (t >> n_unique usually)
-    return out_codes[:n_unique].copy(), out_counts[:n_unique].copy()
+    result = out_codes[:n_unique].copy(), out_counts[:n_unique].copy()
+    _return_count_scratch(out_codes, out_counts)
+    return result
 
 
 def parse_fastq_native(data: bytes):

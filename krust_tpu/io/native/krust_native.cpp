@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -332,10 +333,13 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
 // costs on a counting-scale host: a flat LSD scatter over a DRAM-sized
 // array is latency-bound (~21 ns/elem at 64K buckets, ~37 at 2M), while a
 // 1024-bucket MSD scatter runs ~7 ns/elem (few open write streams) and
-// leaves each bucket cache-resident (~m/1024 elems), where 8-bit LSD
-// passes cost ~4.6 ns/elem. So: one MSD partition on the top 10 bits,
-// then per-bucket LSD over the remaining bits. Ping-pongs between `a`
-// and the scratch `b`; returns the buffer holding the sorted data.
+// leaves each bucket cache-resident (~m/1024 elems). So: one MSD partition
+// on the top 10 bits, then per-bucket LSD over the remaining bits with the
+// widest digit whose histogram stays cache-resident (<= 16 bits, 256 KB as
+// u32 — fewer wide passes beat more narrow ones since each pass re-touches
+// the whole bucket). Ping-pongs between `a` and the scratch `b`; returns
+// the buffer holding the sorted data. Requires m < 2^32 (callers stay far
+// below: streams are batched upstream).
 static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
                                 int bits) {
     static constexpr int kMsdBits = 10;
@@ -365,15 +369,11 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
         ends[j] = starts[j];  // becomes the write cursor
     }
     for (int64_t i = 0; i < m; ++i) b[ends[a[i] >> msd_shift]++] = a[i];
-    // per-bucket LSD over the low inner_bits with the widest digit whose
-    // histogram stays L1-resident (<= 11 bits, 16 KB) — fewer passes beat
-    // narrower digits since each pass re-touches the whole bucket; every
-    // bucket runs the same pass count, so they all finish in the same buffer
-    const int passes = (inner_bits + 10) / 11;
+    const int passes = (inner_bits + 15) / 16;
     const int digit_bits = (inner_bits + passes - 1) / passes;
     const int64_t dig_buckets = int64_t{1} << digit_bits;
     const uint64_t dig_mask = static_cast<uint64_t>(dig_buckets) - 1;
-    int64_t hist[1 << 11];
+    std::vector<uint32_t> hist(dig_buckets);
     for (int64_t d = 0; d < kMsdBuckets; ++d) {
         const int64_t lo = starts[d];
         const int64_t len = ends[d] - lo;
@@ -385,11 +385,11 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
         uint64_t* t = a + lo;
         for (int p = 0; p < passes; ++p) {
             const int shift = p * digit_bits;
-            std::memset(hist, 0, dig_buckets * sizeof(int64_t));
+            std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
             for (int64_t i = 0; i < len; ++i) ++hist[(s[i] >> shift) & dig_mask];
-            int64_t acc = 0;
+            uint32_t acc = 0;
             for (int64_t j = 0; j < dig_buckets; ++j) {
-                const int64_t c = hist[j];
+                const uint32_t c = hist[j];
                 hist[j] = acc;
                 acc += c;
             }
@@ -401,6 +401,166 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
     return (passes & 1) ? a : b;
 }
 
+// Reusable scratch for the u32 inner-sort path (count_inner_u32). Cached
+// across calls so repeated counts don't pay a fresh page-fault storm per
+// invocation; a concurrent second caller (async API) simply mallocs its
+// own transient buffer instead of blocking.
+namespace {
+
+struct ScratchCache {
+    std::mutex mu;
+    uint32_t* buf = nullptr;
+    int64_t cap = 0;  // in u32 elements
+};
+ScratchCache g_scratch;
+
+class ScratchLease {
+   public:
+    explicit ScratchLease(int64_t n_u32) {
+        if (g_scratch.mu.try_lock()) {
+            owned_lock_ = true;
+            if (g_scratch.cap < n_u32) {
+                std::free(g_scratch.buf);
+                g_scratch.buf =
+                    static_cast<uint32_t*>(std::malloc(n_u32 * sizeof(uint32_t)));
+                g_scratch.cap = g_scratch.buf ? n_u32 : 0;
+            }
+            ptr_ = g_scratch.buf;
+        }
+        if (ptr_ == nullptr) {  // cache busy or malloc failed: transient
+            transient_ =
+                static_cast<uint32_t*>(std::malloc(n_u32 * sizeof(uint32_t)));
+            ptr_ = transient_;
+            if (owned_lock_) {
+                g_scratch.mu.unlock();
+                owned_lock_ = false;
+            }
+        }
+    }
+    ~ScratchLease() {
+        if (owned_lock_) g_scratch.mu.unlock();
+        std::free(transient_);
+    }
+    uint32_t* get() const { return ptr_; }
+
+   private:
+    uint32_t* ptr_ = nullptr;
+    uint32_t* transient_ = nullptr;
+    bool owned_lock_ = false;
+};
+
+// Sort + RLE for 13 <= k <= 21 on large inputs: after a 10-bit MSD
+// partition the remaining 2k-10 <= 32 key bits fit one u32, so the
+// per-bucket LSD moves half the bytes of the u64 path (measured ~1.35x
+// end-to-end at k=21). The window array `a` (u64, already MSD-histogrammed
+// into ends[]) is scattered as u32 inner keys into cached scratch; two
+// <=16-bit LSD passes ping-pong scratch halves; RLE reconstructs the full
+// code as (bucket << inner_bits) | inner. Emits into out_codes/out_counts
+// (free by then: `a` aliases out_codes, consumed by the scatter; counts
+// buffer is untouched). Returns the unique count.
+static int64_t count_inner_u32(uint64_t* a, int64_t m, int k,
+                               std::vector<int64_t>& ends,
+                               uint64_t* out_codes, uint64_t* out_counts) {
+    static constexpr int kMsdBits = 10;
+    static constexpr int64_t kMsdBuckets = int64_t{1} << kMsdBits;
+    const int inner_bits = 2 * k - kMsdBits;
+    const int msd_shift = inner_bits;
+    const uint64_t inner_mask =
+        inner_bits == 32 ? 0xFFFFFFFFULL : ((1ULL << inner_bits) - 1);
+
+    std::vector<int64_t> starts(kMsdBuckets);
+    int64_t sum = 0;
+    for (int64_t j = 0; j < kMsdBuckets; ++j) {
+        starts[j] = sum;
+        sum += ends[j];
+        ends[j] = starts[j];  // becomes the scatter write cursor
+    }
+
+    ScratchLease lease(2 * m);
+    uint32_t* s1 = lease.get();
+    if (s1 == nullptr) {  // allocation failed: u64 fallback still works
+        uint64_t* srt = radix_sort_u64(a, out_counts, m, 2 * k);
+        int64_t u = 0;
+        uint64_t prev = srt[0], cnt = 1;
+        for (int64_t j = 1; j < m; ++j) {
+            const uint64_t v = srt[j];
+            if (v != prev) {
+                out_codes[u] = prev;
+                out_counts[u] = cnt;
+                ++u;
+                prev = v;
+                cnt = 1;
+            } else {
+                ++cnt;
+            }
+        }
+        out_codes[u] = prev;
+        out_counts[u] = cnt;
+        return u + 1;
+    }
+    uint32_t* s2 = s1 + m;
+
+    for (int64_t i = 0; i < m; ++i) {
+        const uint64_t v = a[i];
+        s1[ends[v >> msd_shift]++] = static_cast<uint32_t>(v & inner_mask);
+    }
+
+    const int passes = (inner_bits + 15) / 16;  // 1 (k<=13) or 2
+    const int digit_bits = (inner_bits + passes - 1) / passes;
+    const int64_t dig_buckets = int64_t{1} << digit_bits;
+    const uint32_t dig_mask = static_cast<uint32_t>(dig_buckets - 1);
+    std::vector<uint32_t> hist(dig_buckets);
+    int64_t u_total = 0;
+    for (int64_t d = 0; d < kMsdBuckets; ++d) {
+        const int64_t lo = starts[d];
+        const int64_t hi = (d + 1 < kMsdBuckets) ? starts[d + 1] : m;
+        const int64_t len = hi - lo;
+        if (len <= 0) continue;
+        uint32_t* s = s1 + lo;
+        uint32_t* t = s2 + lo;
+        if (len > 1) {
+            for (int p = 0; p < passes; ++p) {
+                const int shift = p * digit_bits;
+                std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
+                for (int64_t i = 0; i < len; ++i)
+                    ++hist[(s[i] >> shift) & dig_mask];
+                uint32_t acc = 0;
+                for (int64_t j = 0; j < dig_buckets; ++j) {
+                    const uint32_t c = hist[j];
+                    hist[j] = acc;
+                    acc += c;
+                }
+                for (int64_t i = 0; i < len; ++i)
+                    t[hist[(s[i] >> shift) & dig_mask]++] = s[i];
+                std::swap(s, t);
+            }
+        }
+        // RLE this bucket; reconstruct full codes. Writes land at
+        // u_total <= lo into buffers disjoint from the scratch.
+        const uint64_t top = static_cast<uint64_t>(d) << msd_shift;
+        uint32_t prev = s[0];
+        uint64_t cnt = 1;
+        for (int64_t j = 1; j < len; ++j) {
+            const uint32_t v = s[j];
+            if (v != prev) {
+                out_codes[u_total] = top | prev;
+                out_counts[u_total] = cnt;
+                ++u_total;
+                prev = v;
+                cnt = 1;
+            } else {
+                ++cnt;
+            }
+        }
+        out_codes[u_total] = top | prev;
+        out_counts[u_total] = cnt;
+        ++u_total;
+    }
+    return u_total;
+}
+
+}  // namespace
+
 // Host counting core: rolling canonical codes -> sort -> RLE, in one call.
 // The sort-based design mirrors the TPU engine (sorting IS the reduction
 // primitive there; see ops/table.py) rather than the reference's concurrent
@@ -410,6 +570,9 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
 // the 2k key bits (O(m) passes instead of comparison n·log n — measured
 // ~4x std::sort at 29M keys on this host); small ones keep std::sort.
 // Serves machines without an accelerator and the bench's CPU fallback.
+// k-dispatch: k<=12 counting sort (4^k histogram IS the count vector);
+// 13<=k<=21 u32 inner-sort (count_inner_u32 above, ~1.35x the u64 path);
+// k>=22 MSD+LSD u64 radix; tiny inputs std::sort.
 //   codes/n:   input stream of 0..4 codes (4 = separator/invalid)
 //   qual/thr:  optional aligned quality bytes; bases with qual < thr are
 //              invalid (thr -1: off)
@@ -459,15 +622,33 @@ int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
         return u;
     }
     int64_t m = 0;
-    roll([&](uint64_t key) { out_codes[m++] = key; });
-    if (m == 0) return 0;
     uint64_t* s = out_codes;
-    if (m >= (int64_t{1} << 20)) {
-        // out_counts doubles as the radix scratch: counts are only written
-        // after the sort, so no extra allocation is needed
-        s = radix_sort_u64(out_codes, out_counts, m, 2 * k);
-    } else {
+    if (k <= 21 && n >= (int64_t{1} << 16)) {
+        // u32 inner-sort path: fuse the MSD histogram into the roll (saves
+        // one full pass over the window array), then hand off to the
+        // u32-per-element bucket sort. Falls through to std::sort when the
+        // stream turned out mostly-invalid (m small).
+        std::vector<int64_t> ends(int64_t{1} << 10, 0);
+        const int msd_shift = 2 * k - 10;
+        roll([&](uint64_t key) {
+            out_codes[m++] = key;
+            ++ends[key >> msd_shift];
+        });
+        if (m == 0) return 0;
+        if (m >= (int64_t{1} << 20))
+            return count_inner_u32(out_codes, m, k, ends, out_codes,
+                                   out_counts);
         std::sort(out_codes, out_codes + m);
+    } else {
+        roll([&](uint64_t key) { out_codes[m++] = key; });
+        if (m == 0) return 0;
+        if (m >= (int64_t{1} << 20)) {
+            // out_counts doubles as the radix scratch: counts are only
+            // written after the sort, so no extra allocation is needed
+            s = radix_sort_u64(out_codes, out_counts, m, 2 * k);
+        } else {
+            std::sort(out_codes, out_codes + m);
+        }
     }
     // RLE into the output prefixes. `s` may alias either buffer; every
     // write lands at index u <= j-1 strictly behind the read cursor j, so

@@ -288,6 +288,33 @@ class TestNativeCountStream:
                 np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
                 np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
 
+    def test_differential_large_m_radix_paths(self):
+        """m >= 2^20 windows engage the radix-sort paths (u32 inner sort
+        for 13<=k<=21, u64 MSD+LSD for k>=22) instead of std::sort; pin
+        both regimes against the numpy oracle on a duplication-heavy
+        read-shaped stream (small genome sampled at high coverage, sprinkled
+        invalids), matching the counting semantics of the reference hot loop
+        (reference: src/run.rs:489-583)."""
+        rng = np.random.default_rng(17)
+        from krust_tpu.models.engines import count_stream_numpy
+
+        genome = rng.integers(0, 4, size=40_000, dtype=np.uint8)
+        parts = []
+        for _ in range(5200):
+            s = int(rng.integers(0, 40_000 - 250))
+            parts.append(genome[s : s + 250])
+            parts.append(np.array([4], np.uint8))
+        codes = np.concatenate(parts)[:-1]
+        codes[rng.random(codes.size) < 0.001] = 4
+        for k in (13, 16, 21, 22, 31):
+            exp = count_stream_numpy(codes, None, k)
+            got = native.count_stream_native(codes, None, None, k)
+            if got is None:
+                pytest.skip("native lib unavailable")
+            assert int(got[1].sum()) >= (1 << 20)  # really in the radix regime
+            np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+            np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+
     def test_quality_threshold(self):
         rng = np.random.default_rng(9)
         from krust_tpu.models.engines import count_stream_numpy

@@ -220,10 +220,11 @@ def count_stream_native(
         return None
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = codes.shape[0]
-    t = n - k + 1
-    if t <= 0:
+    if n - k + 1 <= 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    out_codes, out_counts = _lease_count_scratch(t)
+    # capacity n (not n-k+1): the threaded roll addresses per-thread
+    # segments by window END index, which ranges over [0, n)
+    out_codes, out_counts = _lease_count_scratch(n)
     qp = None
     thr = -1
     if qual is not None and quality_threshold is not None:

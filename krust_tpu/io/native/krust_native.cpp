@@ -401,35 +401,35 @@ static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
     return (passes & 1) ? a : b;
 }
 
-// Reusable scratch for the u32 inner-sort path (count_inner_u32). Cached
-// across calls so repeated counts don't pay a fresh page-fault storm per
-// invocation; a concurrent second caller (async API) simply mallocs its
-// own transient buffer instead of blocking.
+}  // extern "C" (reopened after the template helpers below)
+
+// Reusable scratch for the radix counting paths. Cached across calls so
+// repeated counts don't pay a fresh page-fault storm per invocation; a
+// concurrent second caller (async API) simply mallocs its own transient
+// buffer instead of blocking.
 namespace {
 
 struct ScratchCache {
     std::mutex mu;
-    uint32_t* buf = nullptr;
-    int64_t cap = 0;  // in u32 elements
+    uint8_t* buf = nullptr;
+    int64_t cap = 0;  // in bytes
 };
 ScratchCache g_scratch;
 
 class ScratchLease {
    public:
-    explicit ScratchLease(int64_t n_u32) {
+    explicit ScratchLease(int64_t n_bytes) {
         if (g_scratch.mu.try_lock()) {
             owned_lock_ = true;
-            if (g_scratch.cap < n_u32) {
+            if (g_scratch.cap < n_bytes) {
                 std::free(g_scratch.buf);
-                g_scratch.buf =
-                    static_cast<uint32_t*>(std::malloc(n_u32 * sizeof(uint32_t)));
-                g_scratch.cap = g_scratch.buf ? n_u32 : 0;
+                g_scratch.buf = static_cast<uint8_t*>(std::malloc(n_bytes));
+                g_scratch.cap = g_scratch.buf ? n_bytes : 0;
             }
             ptr_ = g_scratch.buf;
         }
         if (ptr_ == nullptr) {  // cache busy or malloc failed: transient
-            transient_ =
-                static_cast<uint32_t*>(std::malloc(n_u32 * sizeof(uint32_t)));
+            transient_ = static_cast<uint8_t*>(std::malloc(n_bytes));
             ptr_ = transient_;
             if (owned_lock_) {
                 g_scratch.mu.unlock();
@@ -441,45 +441,219 @@ class ScratchLease {
         if (owned_lock_) g_scratch.mu.unlock();
         std::free(transient_);
     }
-    uint32_t* get() const { return ptr_; }
+    void* get() const { return ptr_; }
 
    private:
-    uint32_t* ptr_ = nullptr;
-    uint32_t* transient_ = nullptr;
+    uint8_t* ptr_ = nullptr;
+    uint8_t* transient_ = nullptr;
     bool owned_lock_ = false;
 };
 
-// Sort + RLE for 13 <= k <= 21 on large inputs: after a 10-bit MSD
-// partition the remaining 2k-10 <= 32 key bits fit one u32, so the
-// per-bucket LSD moves half the bytes of the u64 path (measured ~1.35x
-// end-to-end at k=21). The window array `a` (u64, already MSD-histogrammed
-// into ends[]) is scattered as u32 inner keys into cached scratch; two
-// <=16-bit LSD passes ping-pong scratch halves; RLE reconstructs the full
-// code as (bucket << inner_bits) | inner. Emits into out_codes/out_counts
-// (free by then: `a` aliases out_codes, consumed by the scatter; counts
-// buffer is untouched). Returns the unique count.
-static int64_t count_inner_u32(uint64_t* a, int64_t m, int k,
-                               std::vector<int64_t>& ends,
-                               uint64_t* out_codes, uint64_t* out_counts) {
+// Thread-count policy shared by the counting core: KRUST_NATIVE_THREADS
+// forces a count (and drops the size threshold so tests exercise the
+// multi-thread code on tiny inputs), else hardware_concurrency when the
+// work is large enough to amortize thread spawns.
+unsigned pick_threads(int64_t work_units, int64_t parallel_min) {
+    unsigned n_threads = 1;
+    if (const char* env = std::getenv("KRUST_NATIVE_THREADS")) {
+        const long forced = std::strtol(env, nullptr, 10);
+        if (forced > 1) {
+            n_threads = static_cast<unsigned>(forced > 64 ? 64 : forced);
+            parallel_min = 2;
+        }
+    } else {
+        const unsigned hw = std::thread::hardware_concurrency();
+        n_threads = hw > 16 ? 16 : (hw ? hw : 1);
+    }
+    if (work_units < parallel_min) return 1;
+    return n_threads;
+}
+
+// Rolling canonical window scan emitting only windows whose END index lies
+// in [e0, e1). The scan warms up from e0-(k-1) so the window state at e0 is
+// exact — the (k-1)-base halo that makes range-parallel rolling equivalent
+// to the sequential scan (every window's k bases lie within the scan).
+template <typename Emit>
+inline void roll_range(const uint8_t* codes, const uint8_t* qual, int32_t thr,
+                       int k, int64_t e0, int64_t e1, Emit&& emit) {
+    const uint64_t mask = k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int rc_shift = 2 * (k - 1);
+    uint64_t fwd = 0, rc = 0;
+    int64_t run = 0;
+    const int64_t scan0 = e0 > int64_t{k - 1} ? e0 - (k - 1) : 0;
+    for (int64_t i = scan0; i < e1; ++i) {
+        const uint8_t c = codes[i];
+        if (c > 3 || (qual && qual[i] < thr)) {
+            run = 0;
+            fwd = 0;
+            rc = 0;
+            continue;
+        }
+        fwd = ((fwd << 2) | c) & mask;
+        rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << rc_shift);
+        // run >= k already implies i >= e0: the run started at or after
+        // scan0, so i >= scan0 + k - 1 >= e0 (and i >= k - 1 >= e0 when
+        // scan0 clamped to 0) — no end-range check needed
+        if (++run >= k) emit(fwd < rc ? fwd : rc);
+    }
+}
+
+// Per-bucket LSD sort + RLE over the MSD-bucket span [d0, d1), emitting
+// compacted (code, count) rows from starts[d0] upward in out_codes/
+// out_counts. Inner = uint32_t stores only the low inner_bits (the bucket
+// id carries the top 10; codes are reconstructed as (d << msd_shift) |
+// inner), Inner = uint64_t stores the full key (the masked digit windows
+// above inner_bits are constant within a bucket, so ordering is
+// unaffected). Emit writes trail consumption (u <= elements consumed), so
+// the region never collides with later buckets of its own span and spans
+// are disjoint — safe under span-parallel execution. Returns the span's
+// unique count.
+template <typename Inner>
+int64_t sort_rle_span(Inner* s1, Inner* s2, const int64_t* starts,
+                      int64_t m_total, int64_t n_buckets, int64_t d0,
+                      int64_t d1, int inner_bits, int msd_shift,
+                      uint64_t* out_codes, uint64_t* out_counts) {
+    const int passes = (inner_bits + 15) / 16;
+    const int digit_bits = (inner_bits + passes - 1) / passes;
+    const int64_t dig_buckets = int64_t{1} << digit_bits;
+    const Inner dig_mask = static_cast<Inner>(dig_buckets - 1);
+    std::vector<uint32_t> hist(dig_buckets);
+    const int64_t emit0 = starts[d0];
+    int64_t u_total = 0;
+    constexpr bool kFullKeys = sizeof(Inner) == 8;
+    for (int64_t d = d0; d < d1; ++d) {
+        const int64_t lo = starts[d];
+        const int64_t hi = (d + 1 < n_buckets) ? starts[d + 1] : m_total;
+        const int64_t len = hi - lo;
+        if (len <= 0) continue;
+        Inner* s = s1 + lo;
+        Inner* t = s2 + lo;
+        if (len > 1) {
+            for (int p = 0; p < passes; ++p) {
+                const int shift = p * digit_bits;
+                std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
+                for (int64_t i = 0; i < len; ++i)
+                    ++hist[(s[i] >> shift) & dig_mask];
+                uint32_t acc = 0;
+                for (int64_t j = 0; j < dig_buckets; ++j) {
+                    const uint32_t c = hist[j];
+                    hist[j] = acc;
+                    acc += c;
+                }
+                for (int64_t i = 0; i < len; ++i)
+                    t[hist[(s[i] >> shift) & dig_mask]++] = s[i];
+                std::swap(s, t);
+            }
+        }
+        const uint64_t top =
+            kFullKeys ? 0 : (static_cast<uint64_t>(d) << msd_shift);
+        Inner prev = s[0];
+        uint64_t cnt = 1;
+        for (int64_t j = 1; j < len; ++j) {
+            const Inner v = s[j];
+            if (v != prev) {
+                out_codes[emit0 + u_total] = top | prev;
+                out_counts[emit0 + u_total] = cnt;
+                ++u_total;
+                prev = v;
+                cnt = 1;
+            } else {
+                ++cnt;
+            }
+        }
+        out_codes[emit0 + u_total] = top | prev;
+        out_counts[emit0 + u_total] = cnt;
+        ++u_total;
+    }
+    return u_total;
+}
+
+// The radix counting engine for k >= 13 (k <= 12 takes the counting sort):
+// range-parallel rolling emit into per-thread segments of out_codes, one
+// 1024-way MSD scatter into leased scratch (per-thread disjoint cursors
+// derived from per-thread histograms), span-parallel per-bucket LSD + RLE,
+// and a left-compacting stitch of the span results. Single-threaded when
+// the input is small or the host has one core — then the phases degrade to
+// exactly the sequential pipeline. Inner picks the element width (u32 for
+// k <= 21 — half the sort traffic; u64 above). Returns the unique count,
+// or -1 with *m_out set when m < 2^20: the windows are left compacted in
+// out_codes[0..m) for the caller's std::sort finish.
+template <typename Inner>
+int64_t count_radix(const uint8_t* codes, int64_t n, const uint8_t* qual,
+                    int32_t thr, int k, uint64_t* out_codes,
+                    uint64_t* out_counts, int64_t* m_out) {
     static constexpr int kMsdBits = 10;
     static constexpr int64_t kMsdBuckets = int64_t{1} << kMsdBits;
     const int inner_bits = 2 * k - kMsdBits;
     const int msd_shift = inner_bits;
     const uint64_t inner_mask =
-        inner_bits == 32 ? 0xFFFFFFFFULL : ((1ULL << inner_bits) - 1);
+        inner_bits >= 32 ? 0xFFFFFFFFULL : ((1ULL << inner_bits) - 1);
+
+    const unsigned n_threads_roll =
+        pick_threads(n, int64_t{1} << 21);
+    // ranges of window END indices; each >= 4k bases or threads collapse
+    const unsigned max_by_size =
+        static_cast<unsigned>(n / std::max<int64_t>(4 * k, 4096) + 1);
+    const unsigned T = std::max(1u, std::min(n_threads_roll, max_by_size));
+
+    std::vector<int64_t> seg_base(T + 1);
+    for (unsigned t = 0; t <= T; ++t)
+        seg_base[t] = static_cast<int64_t>(n * (uint64_t)t / T);
+    std::vector<int64_t> seg_m(T, 0);
+    std::vector<std::vector<int64_t>> seg_hist(
+        T, std::vector<int64_t>(kMsdBuckets, 0));
+
+    auto roll_seg = [&](unsigned t) {
+        int64_t mm = 0;
+        uint64_t* dst = out_codes + seg_base[t];
+        int64_t* hist = seg_hist[t].data();
+        roll_range(codes, qual, thr, k, seg_base[t], seg_base[t + 1],
+                   [&](uint64_t key) {
+                       dst[mm++] = key;
+                       ++hist[key >> msd_shift];
+                   });
+        seg_m[t] = mm;
+    };
+    if (T > 1) {
+        std::vector<std::thread> ws;
+        ws.reserve(T);
+        for (unsigned t = 0; t < T; ++t) ws.emplace_back(roll_seg, t);
+        for (auto& w : ws) w.join();
+    } else {
+        roll_seg(0);
+    }
+    int64_t m = 0;
+    for (unsigned t = 0; t < T; ++t) m += seg_m[t];
+    *m_out = m;
+    if (m == 0) return 0;
 
     std::vector<int64_t> starts(kMsdBuckets);
-    int64_t sum = 0;
-    for (int64_t j = 0; j < kMsdBuckets; ++j) {
-        starts[j] = sum;
-        sum += ends[j];
-        ends[j] = starts[j];  // becomes the scatter write cursor
+    {
+        int64_t sum = 0;
+        for (int64_t b = 0; b < kMsdBuckets; ++b) {
+            starts[b] = sum;
+            for (unsigned t = 0; t < T; ++t) sum += seg_hist[t][b];
+        }
     }
 
-    ScratchLease lease(2 * m);
-    uint32_t* s1 = lease.get();
-    if (s1 == nullptr) {  // allocation failed: u64 fallback still works
-        uint64_t* srt = radix_sort_u64(a, out_counts, m, 2 * k);
+    auto compact_segments = [&]() {
+        int64_t w = seg_m[0];
+        for (unsigned t = 1; t < T; ++t) {
+            std::memmove(out_codes + w, out_codes + seg_base[t],
+                         seg_m[t] * sizeof(uint64_t));
+            w += seg_m[t];
+        }
+    };
+    if (m < (int64_t{1} << 20)) {
+        if (T > 1) compact_segments();
+        return -1;  // caller finishes with std::sort
+    }
+
+    ScratchLease lease(2 * m * static_cast<int64_t>(sizeof(Inner)));
+    if (lease.get() == nullptr) {
+        // allocation failed: single-thread u64 fallback, zero extra memory
+        if (T > 1) compact_segments();
+        uint64_t* srt = radix_sort_u64(out_codes, out_counts, m, 2 * k);
         int64_t u = 0;
         uint64_t prev = srt[0], cnt = 1;
         for (int64_t j = 1; j < m; ++j) {
@@ -498,68 +672,96 @@ static int64_t count_inner_u32(uint64_t* a, int64_t m, int k,
         out_counts[u] = cnt;
         return u + 1;
     }
-    uint32_t* s2 = s1 + m;
+    Inner* s1 = static_cast<Inner*>(lease.get());
+    Inner* s2 = s1 + m;
 
-    for (int64_t i = 0; i < m; ++i) {
-        const uint64_t v = a[i];
-        s1[ends[v >> msd_shift]++] = static_cast<uint32_t>(v & inner_mask);
+    // per-(thread, bucket) scatter cursors: column-prefix over seg_hist
+    auto scatter_seg = [&](unsigned t, const int64_t* cursors) {
+        const uint64_t* src = out_codes + seg_base[t];
+        const int64_t mm = seg_m[t];
+        std::vector<int64_t> cur(cursors, cursors + kMsdBuckets);
+        for (int64_t i = 0; i < mm; ++i) {
+            const uint64_t v = src[i];
+            s1[cur[v >> msd_shift]++] =
+                static_cast<Inner>(sizeof(Inner) == 8 ? v : (v & inner_mask));
+        }
+    };
+    {
+        std::vector<std::vector<int64_t>> offs(
+            T, std::vector<int64_t>(kMsdBuckets));
+        for (int64_t b = 0; b < kMsdBuckets; ++b) {
+            int64_t acc = starts[b];
+            for (unsigned t = 0; t < T; ++t) {
+                offs[t][b] = acc;
+                acc += seg_hist[t][b];
+            }
+        }
+        if (T > 1) {
+            std::vector<std::thread> ws;
+            ws.reserve(T);
+            for (unsigned t = 0; t < T; ++t)
+                ws.emplace_back(scatter_seg, t, offs[t].data());
+            for (auto& w : ws) w.join();
+        } else {
+            scatter_seg(0, offs[0].data());
+        }
     }
 
-    const int passes = (inner_bits + 15) / 16;  // 1 (k<=13) or 2
-    const int digit_bits = (inner_bits + passes - 1) / passes;
-    const int64_t dig_buckets = int64_t{1} << digit_bits;
-    const uint32_t dig_mask = static_cast<uint32_t>(dig_buckets - 1);
-    std::vector<uint32_t> hist(dig_buckets);
-    int64_t u_total = 0;
-    for (int64_t d = 0; d < kMsdBuckets; ++d) {
-        const int64_t lo = starts[d];
-        const int64_t hi = (d + 1 < kMsdBuckets) ? starts[d + 1] : m;
-        const int64_t len = hi - lo;
-        if (len <= 0) continue;
-        uint32_t* s = s1 + lo;
-        uint32_t* t = s2 + lo;
-        if (len > 1) {
-            for (int p = 0; p < passes; ++p) {
-                const int shift = p * digit_bits;
-                std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
-                for (int64_t i = 0; i < len; ++i)
-                    ++hist[(s[i] >> shift) & dig_mask];
-                uint32_t acc = 0;
-                for (int64_t j = 0; j < dig_buckets; ++j) {
-                    const uint32_t c = hist[j];
-                    hist[j] = acc;
-                    acc += c;
-                }
-                for (int64_t i = 0; i < len; ++i)
-                    t[hist[(s[i] >> shift) & dig_mask]++] = s[i];
-                std::swap(s, t);
-            }
+    // span-parallel sort+RLE: split buckets into S contiguous spans of
+    // roughly equal element volume
+    const unsigned S = std::max(
+        1u, std::min(pick_threads(m, int64_t{1} << 20),
+                     static_cast<unsigned>(kMsdBuckets)));
+    std::vector<int64_t> span_d0(S + 1, kMsdBuckets);
+    span_d0[0] = 0;
+    {
+        int64_t acc = 0;
+        unsigned s = 1;
+        for (int64_t b = 0; b < kMsdBuckets && s < S; ++b) {
+            const int64_t hi = (b + 1 < kMsdBuckets) ? starts[b + 1] : m;
+            acc = hi;
+            if (acc >= m * static_cast<int64_t>(s) / S) span_d0[s++] = b + 1;
         }
-        // RLE this bucket; reconstruct full codes. Writes land at
-        // u_total <= lo into buffers disjoint from the scratch.
-        const uint64_t top = static_cast<uint64_t>(d) << msd_shift;
-        uint32_t prev = s[0];
-        uint64_t cnt = 1;
-        for (int64_t j = 1; j < len; ++j) {
-            const uint32_t v = s[j];
-            if (v != prev) {
-                out_codes[u_total] = top | prev;
-                out_counts[u_total] = cnt;
-                ++u_total;
-                prev = v;
-                cnt = 1;
-            } else {
-                ++cnt;
-            }
+    }
+    std::vector<int64_t> span_u(S, 0);
+    auto run_span = [&](unsigned s) {
+        if (span_d0[s] >= kMsdBuckets || span_d0[s] >= span_d0[s + 1]) {
+            span_u[s] = 0;  // volume skew left this span empty
+            return;
         }
-        out_codes[u_total] = top | prev;
-        out_counts[u_total] = cnt;
-        ++u_total;
+        span_u[s] = sort_rle_span<Inner>(
+            s1, s2, starts.data(), m, kMsdBuckets, span_d0[s], span_d0[s + 1],
+            inner_bits, msd_shift, out_codes, out_counts);
+    };
+    if (S > 1) {
+        std::vector<std::thread> ws;
+        ws.reserve(S);
+        for (unsigned s = 0; s < S; ++s) ws.emplace_back(run_span, s);
+        for (auto& w : ws) w.join();
+    } else {
+        run_span(0);
+    }
+
+    // stitch: left-compact span results (dest cum <= span emit base since
+    // unique <= elements for every earlier span)
+    int64_t u_total = span_u[0];
+    for (unsigned s = 1; s < S; ++s) {
+        if (span_u[s] <= 0) continue;
+        const int64_t src = starts[span_d0[s]];
+        if (src != u_total) {
+            std::memmove(out_codes + u_total, out_codes + src,
+                         span_u[s] * sizeof(uint64_t));
+            std::memmove(out_counts + u_total, out_counts + src,
+                         span_u[s] * sizeof(uint64_t));
+        }
+        u_total += span_u[s];
     }
     return u_total;
 }
 
 }  // namespace
+
+extern "C" {
 
 // Host counting core: rolling canonical codes -> sort -> RLE, in one call.
 // The sort-based design mirrors the TPU engine (sorting IS the reduction
@@ -571,46 +773,31 @@ static int64_t count_inner_u32(uint64_t* a, int64_t m, int k,
 // ~4x std::sort at 29M keys on this host); small ones keep std::sort.
 // Serves machines without an accelerator and the bench's CPU fallback.
 // k-dispatch: k<=12 counting sort (4^k histogram IS the count vector);
-// 13<=k<=21 u32 inner-sort (count_inner_u32 above, ~1.35x the u64 path);
-// k>=22 MSD+LSD u64 radix; tiny inputs std::sort.
+// 13<=k<=21 u32 inner-sort (count_radix<uint32_t>, ~1.35x the u64 path);
+// k>=22 MSD+LSD u64 radix (count_radix<uint64_t>); tiny inputs std::sort.
+// The radix engine range-parallelizes over KRUST_NATIVE_THREADS /
+// hardware_concurrency cores ((k-1)-halo roll ranges, per-thread scatter
+// cursors, bucket-span sorts — bit-identical to the sequential pipeline).
 //   codes/n:   input stream of 0..4 codes (4 = separator/invalid)
 //   qual/thr:  optional aligned quality bytes; bases with qual < thr are
 //              invalid (thr -1: off)
 //   k:         1..=32
-//   out_codes: caller buffer, capacity max(n - k + 1, 1) u64 entries;
-//              returns the sorted unique canonical codes in its prefix
+//   out_codes: caller buffer, capacity n u64 entries (thread roll segments
+//              are end-index addressed); returns the sorted unique
+//              canonical codes in its prefix
 //   out_counts: caller buffer, same capacity; per-unique counts
 // Returns the number of unique canonical k-mers (0 when no window fits).
 int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
                            int32_t thr, int32_t k, uint64_t* out_codes,
                            uint64_t* out_counts) {
     if (k < 1 || k > 32 || n < k) return 0;
-    const uint64_t mask =
-        k == 32 ? ~0ULL : ((1ULL << (2 * k)) - 1);
-    const int rc_shift = 2 * (k - 1);
-    uint64_t fwd = 0, rc = 0;
-    int run = 0;
-    // the rolling canonical window emit, parameterized on the sink
-    auto roll = [&](auto&& emit) {
-        for (int64_t i = 0; i < n; ++i) {
-            const uint8_t c = codes[i];
-            if (c > 3 || (qual && qual[i] < thr)) {
-                run = 0;
-                fwd = 0;
-                rc = 0;
-                continue;
-            }
-            fwd = ((fwd << 2) | c) & mask;
-            rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << rc_shift);
-            if (++run >= k) emit(fwd < rc ? fwd : rc);
-        }
-    };
     if (k <= 12 && n >= (int64_t{1} << 16)) {
         // Counting sort: the code space (4^k <= 16M) fits a host histogram,
         // which doubles as the count vector — no materialized window array,
         // no sort, one sequential scan to emit the nonzero entries sorted.
         std::vector<uint64_t> hist(uint64_t{1} << (2 * k));
-        roll([&](uint64_t key) { ++hist[key]; });
+        roll_range(codes, qual, thr, k, 0, n,
+                   [&](uint64_t key) { ++hist[key]; });
         int64_t u = 0;
         for (uint64_t code = 0; code < hist.size(); ++code) {
             if (hist[code]) {
@@ -622,42 +809,28 @@ int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
         return u;
     }
     int64_t m = 0;
-    uint64_t* s = out_codes;
-    if (k <= 21 && n >= (int64_t{1} << 16)) {
-        // u32 inner-sort path: fuse the MSD histogram into the roll (saves
-        // one full pass over the window array), then hand off to the
-        // u32-per-element bucket sort. Falls through to std::sort when the
-        // stream turned out mostly-invalid (m small).
-        std::vector<int64_t> ends(int64_t{1} << 10, 0);
-        const int msd_shift = 2 * k - 10;
-        roll([&](uint64_t key) {
-            out_codes[m++] = key;
-            ++ends[key >> msd_shift];
-        });
-        if (m == 0) return 0;
-        if (m >= (int64_t{1} << 20))
-            return count_inner_u32(out_codes, m, k, ends, out_codes,
-                                   out_counts);
+    if (n >= (int64_t{1} << 16)) {
+        const int64_t u =
+            k <= 21 ? count_radix<uint32_t>(codes, n, qual, thr, k, out_codes,
+                                            out_counts, &m)
+                    : count_radix<uint64_t>(codes, n, qual, thr, k, out_codes,
+                                            out_counts, &m);
+        if (u >= 0) return u;
+        // m < 2^20: windows sit compacted in out_codes[0..m); sort finish
         std::sort(out_codes, out_codes + m);
     } else {
-        roll([&](uint64_t key) { out_codes[m++] = key; });
+        roll_range(codes, qual, thr, k, 0, n,
+                   [&](uint64_t key) { out_codes[m++] = key; });
         if (m == 0) return 0;
-        if (m >= (int64_t{1} << 20)) {
-            // out_counts doubles as the radix scratch: counts are only
-            // written after the sort, so no extra allocation is needed
-            s = radix_sort_u64(out_codes, out_counts, m, 2 * k);
-        } else {
-            std::sort(out_codes, out_codes + m);
-        }
+        std::sort(out_codes, out_codes + m);
     }
-    // RLE into the output prefixes. `s` may alias either buffer; every
-    // write lands at index u <= j-1 strictly behind the read cursor j, so
-    // the compaction is forward-safe for both aliases.
+    // RLE into the output prefixes: every write lands at index u <= j-1
+    // strictly behind the read cursor j, so the compaction is forward-safe.
     int64_t u = 0;
-    uint64_t prev = s[0];
+    uint64_t prev = out_codes[0];
     uint64_t cnt = 1;
     for (int64_t j = 1; j < m; ++j) {
-        const uint64_t v = s[j];
+        const uint64_t v = out_codes[j];
         if (v != prev) {
             out_codes[u] = prev;
             out_counts[u] = cnt;

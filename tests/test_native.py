@@ -315,6 +315,30 @@ class TestNativeCountStream:
             np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
             np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
 
+    def test_forced_threads_match_single_thread(self, monkeypatch):
+        """KRUST_NATIVE_THREADS forces the range-parallel counting core on
+        this single-core host: (k-1)-halo roll ranges, per-thread scatter
+        cursors, bucket-span sorts, and the stitch must be bit-identical to
+        the sequential pipeline. Covers both the threaded radix path
+        (m >= 2^20) and the threaded-roll + compaction + std::sort path
+        (m < 2^20), with invalids planted exactly at the range boundaries."""
+        rng = np.random.default_rng(23)
+        for n, k in ((1_400_000, 21), (1_400_000, 31), (120_000, 17)):
+            codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+            codes[rng.random(n) < 0.002] = 4
+            for t in range(4):  # invalids at/astride forced-range boundaries
+                codes[(n * t) // 4] = 4
+                codes[min((n * t) // 4 + 1, n - 1)] = 4
+            monkeypatch.delenv("KRUST_NATIVE_THREADS", raising=False)
+            seq = native.count_stream_native(codes, None, None, k)
+            if seq is None:
+                pytest.skip("native lib unavailable")
+            for forced in ("2", "5"):
+                monkeypatch.setenv("KRUST_NATIVE_THREADS", forced)
+                par = native.count_stream_native(codes, None, None, k)
+                np.testing.assert_array_equal(par[0], seq[0])
+                np.testing.assert_array_equal(par[1], seq[1])
+
     def test_quality_threshold(self):
         rng = np.random.default_rng(9)
         from krust_tpu.models.engines import count_stream_numpy

@@ -179,9 +179,18 @@ def scan_stream_native(
 # a steady batch size would otherwise pay a fresh ~2x8B/window page-fault
 # storm per call (measured ~0.3 s per 59M-window pass). One cached pair,
 # handed out under a lock; a concurrent second caller allocates transient
-# buffers instead of blocking.
+# buffers instead of blocking. Pairs above KRUST_SCRATCH_CACHE_MB (default
+# 4096) are never cached, so one genome-scale count doesn't pin tens of GB
+# for the process lifetime.
 _COUNT_SCRATCH: list[np.ndarray] | None = None
 _COUNT_SCRATCH_LOCK = threading.Lock()
+
+
+def _scratch_cache_limit_bytes() -> int:
+    try:
+        return int(os.environ.get("KRUST_SCRATCH_CACHE_MB", "4096")) * (1 << 20)
+    except ValueError:
+        return 4096 << 20
 
 
 def _lease_count_scratch(t: int):
@@ -198,6 +207,8 @@ def _lease_count_scratch(t: int):
 
 def _return_count_scratch(out_codes: np.ndarray, out_counts: np.ndarray):
     global _COUNT_SCRATCH
+    if out_codes.nbytes + out_counts.nbytes > _scratch_cache_limit_bytes():
+        return  # too big to pin for the process lifetime
     with _COUNT_SCRATCH_LOCK:
         if _COUNT_SCRATCH is None or _COUNT_SCRATCH[0].shape[0] < out_codes.shape[0]:
             _COUNT_SCRATCH = [out_codes, out_counts]
@@ -241,7 +252,8 @@ def count_stream_native(
         out_codes.ctypes.data_as(u64p),
         out_counts.ctypes.data_as(u64p),
     )
-    # copies release the t-sized scratch immediately (t >> n_unique usually)
+    # compact copies detach the result from the n-sized scratch, which
+    # goes back to the (size-capped) cache for the next call
     result = out_codes[:n_unique].copy(), out_counts[:n_unique].copy()
     _return_count_scratch(out_codes, out_counts)
     return result

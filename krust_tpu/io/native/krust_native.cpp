@@ -329,78 +329,6 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
     return n_inv;
 }
 
-// Radix sort over the low `bits` bits of `a`. Shape chosen from measured
-// costs on a counting-scale host: a flat LSD scatter over a DRAM-sized
-// array is latency-bound (~21 ns/elem at 64K buckets, ~37 at 2M), while a
-// 1024-bucket MSD scatter runs ~7 ns/elem (few open write streams) and
-// leaves each bucket cache-resident (~m/1024 elems). So: one MSD partition
-// on the top 10 bits, then per-bucket LSD over the remaining bits with the
-// widest digit whose histogram stays cache-resident (<= 16 bits, 256 KB as
-// u32 — fewer wide passes beat more narrow ones since each pass re-touches
-// the whole bucket). Ping-pongs between `a` and the scratch `b`; returns
-// the buffer holding the sorted data. Requires m < 2^32 (callers stay far
-// below: streams are batched upstream).
-static uint64_t* radix_sort_u64(uint64_t* a, uint64_t* b, int64_t m,
-                                int bits) {
-    static constexpr int kMsdBits = 10;
-    static constexpr int64_t kMsdBuckets = int64_t{1} << kMsdBits;
-    if (bits <= kMsdBits) {
-        // key fits the MSD digit: one counting-style scatter sorts it
-        std::vector<int64_t> hist(int64_t{1} << bits, 0);
-        for (int64_t i = 0; i < m; ++i) ++hist[a[i]];
-        int64_t sum = 0;
-        for (auto& h : hist) {
-            const int64_t c = h;
-            h = sum;
-            sum += c;
-        }
-        for (int64_t i = 0; i < m; ++i) b[hist[a[i]]++] = a[i];
-        return b;
-    }
-    const int inner_bits = bits - kMsdBits;
-    const int msd_shift = inner_bits;
-    std::vector<int64_t> ends(kMsdBuckets, 0);
-    for (int64_t i = 0; i < m; ++i) ++ends[a[i] >> msd_shift];
-    std::vector<int64_t> starts(kMsdBuckets);
-    int64_t sum = 0;
-    for (int64_t j = 0; j < kMsdBuckets; ++j) {
-        starts[j] = sum;
-        sum += ends[j];
-        ends[j] = starts[j];  // becomes the write cursor
-    }
-    for (int64_t i = 0; i < m; ++i) b[ends[a[i] >> msd_shift]++] = a[i];
-    const int passes = (inner_bits + 15) / 16;
-    const int digit_bits = (inner_bits + passes - 1) / passes;
-    const int64_t dig_buckets = int64_t{1} << digit_bits;
-    const uint64_t dig_mask = static_cast<uint64_t>(dig_buckets) - 1;
-    std::vector<uint32_t> hist(dig_buckets);
-    for (int64_t d = 0; d < kMsdBuckets; ++d) {
-        const int64_t lo = starts[d];
-        const int64_t len = ends[d] - lo;
-        if (len <= 1) {
-            if (len == 1 && (passes & 1)) a[lo] = b[lo];
-            continue;
-        }
-        uint64_t* s = b + lo;
-        uint64_t* t = a + lo;
-        for (int p = 0; p < passes; ++p) {
-            const int shift = p * digit_bits;
-            std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
-            for (int64_t i = 0; i < len; ++i) ++hist[(s[i] >> shift) & dig_mask];
-            uint32_t acc = 0;
-            for (int64_t j = 0; j < dig_buckets; ++j) {
-                const uint32_t c = hist[j];
-                hist[j] = acc;
-                acc += c;
-            }
-            for (int64_t i = 0; i < len; ++i)
-                t[hist[(s[i] >> shift) & dig_mask]++] = s[i];
-            std::swap(s, t);
-        }
-    }
-    return (passes & 1) ? a : b;
-}
-
 }  // extern "C" (reopened after the template helpers below)
 
 // Reusable scratch for the radix counting paths. Cached across calls so
@@ -418,8 +346,12 @@ ScratchCache g_scratch;
 
 class ScratchLease {
    public:
+    // Leases above this stay transient (freed at destruction) so one huge
+    // count doesn't pin gigabytes for the process lifetime.
+    static constexpr int64_t kMaxCachedBytes = int64_t{1} << 30;
+
     explicit ScratchLease(int64_t n_bytes) {
-        if (g_scratch.mu.try_lock()) {
+        if (n_bytes <= kMaxCachedBytes && g_scratch.mu.try_lock()) {
             owned_lock_ = true;
             if (g_scratch.cap < n_bytes) {
                 std::free(g_scratch.buf);
@@ -528,7 +460,12 @@ int64_t sort_rle_span(Inner* s1, Inner* s2, const int64_t* starts,
         if (len <= 0) continue;
         Inner* s = s1 + lo;
         Inner* t = s2 + lo;
-        if (len > 1) {
+        if (len >= int64_t{0xFFFFFFFF}) {
+            // one MSD bucket with >= 2^32 elements would wrap the u32
+            // histogram prefix sums (conceivable only for genome-scale
+            // low-complexity input): comparison-sort that bucket instead
+            std::sort(s, s + len);
+        } else if (len > 1) {
             for (int p = 0; p < passes; ++p) {
                 const int shift = p * digit_bits;
                 std::memset(hist.data(), 0, dig_buckets * sizeof(uint32_t));
@@ -651,26 +588,11 @@ int64_t count_radix(const uint8_t* codes, int64_t n, const uint8_t* qual,
 
     ScratchLease lease(2 * m * static_cast<int64_t>(sizeof(Inner)));
     if (lease.get() == nullptr) {
-        // allocation failed: single-thread u64 fallback, zero extra memory
+        // scratch allocation failed: zero-extra-memory std::sort finish
+        // (rare OOM path; correctness over speed)
         if (T > 1) compact_segments();
-        uint64_t* srt = radix_sort_u64(out_codes, out_counts, m, 2 * k);
-        int64_t u = 0;
-        uint64_t prev = srt[0], cnt = 1;
-        for (int64_t j = 1; j < m; ++j) {
-            const uint64_t v = srt[j];
-            if (v != prev) {
-                out_codes[u] = prev;
-                out_counts[u] = cnt;
-                ++u;
-                prev = v;
-                cnt = 1;
-            } else {
-                ++cnt;
-            }
-        }
-        out_codes[u] = prev;
-        out_counts[u] = cnt;
-        return u + 1;
+        *m_out = m;
+        return -1;
     }
     Inner* s1 = static_cast<Inner*>(lease.get());
     Inner* s2 = s1 + m;

@@ -300,7 +300,7 @@ class TestNativeCountStream:
 
         genome = rng.integers(0, 4, size=40_000, dtype=np.uint8)
         parts = []
-        for _ in range(5200):
+        for _ in range(6000):
             s = int(rng.integers(0, 40_000 - 250))
             parts.append(genome[s : s + 250])
             parts.append(np.array([4], np.uint8))
@@ -314,6 +314,17 @@ class TestNativeCountStream:
             assert int(got[1].sum()) >= (1 << 20)  # really in the radix regime
             np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
             np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+        # quality filtering through the same radix regimes (u32 and u64):
+        # mostly-high quality with sparse low spots keeps m >= 2^20 while
+        # still exercising the filter inside the rolling scan
+        qual = rng.integers(41, 80, size=codes.size, dtype=np.uint8)
+        qual[rng.random(codes.size) < 0.002] = 10
+        for k in (21, 31):
+            exp = count_stream_numpy(codes, qual, k, 40)
+            got = native.count_stream_native(codes, qual, 40, k)
+            assert int(got[1].sum()) >= (1 << 20)
+            np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+            np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
 
     def test_forced_threads_match_single_thread(self, monkeypatch):
         """KRUST_NATIVE_THREADS forces the range-parallel counting core on
@@ -323,19 +334,31 @@ class TestNativeCountStream:
         (m >= 2^20) and the threaded-roll + compaction + std::sort path
         (m < 2^20), with invalids planted exactly at the range boundaries."""
         rng = np.random.default_rng(23)
-        for n, k in ((1_400_000, 21), (1_400_000, 31), (120_000, 17)):
+        for n, k, with_qual in (
+            (1_400_000, 21, False),
+            (1_400_000, 31, False),
+            (1_400_000, 21, True),  # quality mask straddling range boundaries
+            (120_000, 17, False),
+        ):
             codes = rng.integers(0, 4, size=n, dtype=np.uint8)
             codes[rng.random(n) < 0.002] = 4
             for t in range(4):  # invalids at/astride forced-range boundaries
                 codes[(n * t) // 4] = 4
                 codes[min((n * t) // 4 + 1, n - 1)] = 4
+            qual = thr = None
+            if with_qual:
+                qual = rng.integers(41, 80, size=n, dtype=np.uint8)
+                qual[rng.random(n) < 0.002] = 10
+                for t in range(1, 4):  # low quality right at the boundary
+                    qual[(n * t) // 4 - 1] = 0
+                thr = 40
             monkeypatch.delenv("KRUST_NATIVE_THREADS", raising=False)
-            seq = native.count_stream_native(codes, None, None, k)
+            seq = native.count_stream_native(codes, qual, thr, k)
             if seq is None:
                 pytest.skip("native lib unavailable")
             for forced in ("2", "5"):
                 monkeypatch.setenv("KRUST_NATIVE_THREADS", forced)
-                par = native.count_stream_native(codes, None, None, k)
+                par = native.count_stream_native(codes, qual, thr, k)
                 np.testing.assert_array_equal(par[0], seq[0])
                 np.testing.assert_array_equal(par[1], seq[1])
 

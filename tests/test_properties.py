@@ -149,3 +149,40 @@ def test_fuzz_targets_in_suite():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main(10_000)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    codes_list=st.lists(
+        st.integers(min_value=0, max_value=5),  # 4/5 both mean invalid
+        min_size=1,
+        max_size=400,
+    ),
+    k=st.integers(1, 32),
+    threads=st.sampled_from([None, 1, 2, 3]),
+)
+def test_native_count_matches_numpy_oracle(codes_list, k, threads):
+    """The native host counting core (all k regimes, optional forced
+    threading) agrees with the numpy oracle on arbitrary dirty streams —
+    the property analog of the seeded differentials in test_native.py
+    (reference semantics: src/run.rs:526-571 window scan)."""
+    import os
+
+    from krust_tpu.io import native
+    from krust_tpu.models.engines import count_stream_numpy
+
+    codes = np.array([min(c, 4) for c in codes_list], dtype=np.uint8)
+    saved = os.environ.pop("KRUST_NATIVE_THREADS", None)
+    try:
+        if threads is not None:
+            os.environ["KRUST_NATIVE_THREADS"] = str(threads)
+        got = native.count_stream_native(codes, None, None, k)
+        if got is None:
+            pytest.skip("native lib unavailable")
+        exp = count_stream_numpy(codes, None, k)
+        np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
+        np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
+    finally:
+        os.environ.pop("KRUST_NATIVE_THREADS", None)
+        if saved is not None:
+            os.environ["KRUST_NATIVE_THREADS"] = saved

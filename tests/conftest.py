@@ -21,6 +21,24 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall-clock is dominated by
+# XLA-CPU compiles on this 1-core host, and the per-module clear below
+# (crash workaround) forces recompiles of shared executables. With a disk
+# cache those recompiles deserialize in milliseconds instead; repeat suite
+# runs on the same checkout drop from ~30 to well under 15 minutes.
+# Repo-local (not /tmp): per-checkout, no shared-path ownership or
+# pre-planted-entry concerns on multi-user machines. KRUST_TEST_JAX_CACHE
+# overrides; blank (" ") disables.
+_cache_dir = os.environ.get(
+    "KRUST_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
+                 ".jax_cache"),
+)
+if _cache_dir.strip():
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 import pytest as _pytest  # noqa: E402
 

@@ -18,6 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Force the CPU platform BEFORE importing krust_tpu: the package reads
+# KRUST_PLATFORM at import time, so setting it in __main__ (after the
+# imports below) never applied — and without it the first count probes the
+# possibly-dead TPU tunnel. --device opts back into the real backend.
+if "--device" not in sys.argv:
+    os.environ.setdefault("KRUST_PLATFORM", "cpu")
+
 import numpy as np  # noqa: E402
 
 import krust_tpu as kt  # noqa: E402
@@ -149,8 +156,6 @@ def device_kernels() -> None:
 
 
 if __name__ == "__main__":
-    if "--device" not in sys.argv:
-        os.environ.setdefault("KRUST_PLATFORM", "cpu")
     micro()
     macro()
     output_path()

@@ -23,6 +23,7 @@ All engines consume :class:`~krust_tpu.io.reader.ParsedStreams` and return
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -604,13 +605,38 @@ class SequentialEngine:
 
 
 def _jax_usable() -> bool:
-    try:
-        import jax
+    """Probe jax backend availability without risking an engine-select hang.
 
-        jax.devices()
-        return True
-    except Exception:
-        return False
+    ``jax.devices()`` against a dead remote accelerator link can retry-sleep
+    indefinitely inside a C call — exactly the situation where the native
+    host fallback is most needed. The probe runs in a daemon thread with a
+    deadline (KRUST_JAX_PROBE_TIMEOUT_S, default 60 s — generous because a
+    healthy tunneled backend may legitimately spend tens of seconds on
+    first-contact negotiation); on timeout the backend is treated as
+    unusable and the (possibly still-sleeping) probe thread is abandoned.
+    A successful probe is cached by jax, so this costs one thread once.
+    """
+    import threading
+
+    result: list[bool] = []
+
+    def probe() -> None:
+        try:
+            import jax
+
+            jax.devices()
+            result.append(True)
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True, name="krust-jax-probe")
+    t.start()
+    try:
+        timeout_s = float(os.environ.get("KRUST_JAX_PROBE_TIMEOUT_S", "60"))
+    except ValueError:
+        timeout_s = 60.0
+    t.join(timeout_s)
+    return bool(result) and result[0]
 
 
 def _jax_backend() -> str | None:
@@ -630,8 +656,6 @@ def _cpu_platform_forced() -> bool:
     it keeps auto-dispatch from silently rerouting those runs to the host
     core.
     """
-    import os
-
     return os.environ.get("KRUST_PLATFORM", "").lower() == "cpu"
 
 

@@ -433,6 +433,28 @@ class TestEngineDispatch:
         monkeypatch.delenv("KRUST_PLATFORM", raising=False)
         assert isinstance(eng.select_engine(eng.EngineConfig()), eng.BatchEngine)
 
+    def test_hung_jax_probe_times_out_to_native(self, monkeypatch):
+        """A dead remote-accelerator link makes jax.devices() retry-sleep
+        inside a C call forever; the probe's deadline must route to the
+        native host core instead of hanging engine selection (observed on
+        this rig's dead axon relay)."""
+        import time
+
+        import jax as real_jax
+
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(
+            real_jax, "devices", lambda *a, **k: time.sleep(30)
+        )
+        monkeypatch.setenv("KRUST_JAX_PROBE_TIMEOUT_S", "0.2")
+        monkeypatch.delenv("KRUST_PLATFORM", raising=False)
+        t0 = time.perf_counter()
+        engine = eng.select_engine(eng.EngineConfig())
+        elapsed = time.perf_counter() - t0
+        assert isinstance(engine, (eng.NativeEngine, eng.NumpyEngine))
+        assert elapsed < 5.0
+
     def test_no_jax_routes_native_then_numpy(self, monkeypatch):
         from krust_tpu.models import engines as eng
 

@@ -23,6 +23,33 @@
 #include <thread>
 #include <vector>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
+namespace {
+
+// Eagerly populate pages of a fresh allocation. Lazy first-touch faulting
+// costs ~45 us/page on some virtualized hosts (measured on this rig:
+// 12 s to touch 1 GB), while MADV_POPULATE_WRITE populates the same
+// region at ~7 GB/s. No-op (correct, just lazy) where unsupported.
+void populate_write(void* ptr, int64_t n_bytes) {
+#if defined(__linux__) && defined(MADV_POPULATE_WRITE)
+    if (ptr == nullptr || n_bytes <= 0) return;
+    const uintptr_t page = 4096;
+    uintptr_t a = reinterpret_cast<uintptr_t>(ptr) & ~(page - 1);
+    uintptr_t b = (reinterpret_cast<uintptr_t>(ptr) +
+                   static_cast<uintptr_t>(n_bytes) + page - 1) &
+                  ~(page - 1);
+    madvise(reinterpret_cast<void*>(a), b - a, MADV_POPULATE_WRITE);
+#else
+    (void)ptr;
+    (void)n_bytes;
+#endif
+}
+
+}  // namespace
+
 namespace {
 
 constexpr uint8_t kInvalid = 4;
@@ -357,12 +384,14 @@ class ScratchLease {
                 std::free(g_scratch.buf);
                 g_scratch.buf = static_cast<uint8_t*>(std::malloc(n_bytes));
                 g_scratch.cap = g_scratch.buf ? n_bytes : 0;
+                populate_write(g_scratch.buf, n_bytes);
             }
             ptr_ = g_scratch.buf;
         }
         if (ptr_ == nullptr) {  // cache busy or malloc failed: transient
             transient_ = static_cast<uint8_t*>(std::malloc(n_bytes));
             ptr_ = transient_;
+            populate_write(transient_, n_bytes);
             if (owned_lock_) {
                 g_scratch.mu.unlock();
                 owned_lock_ = false;
@@ -684,6 +713,13 @@ int64_t count_radix(const uint8_t* codes, int64_t n, const uint8_t* qual,
 }  // namespace
 
 extern "C" {
+
+// Eagerly fault in a caller-allocated buffer (see populate_write above):
+// the Python side calls this on fresh numpy scratch so genome-scale output
+// buffers don't pay lazy per-page fault costs during the count.
+void krust_populate_write(uint8_t* ptr, int64_t n_bytes) {
+    populate_write(ptr, n_bytes);
+}
 
 // Host counting core: rolling canonical codes -> sort -> RLE, in one call.
 // The sort-based design mirrors the TPU engine (sorting IS the reduction

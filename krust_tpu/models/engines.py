@@ -614,8 +614,13 @@ def _jax_usable() -> bool:
     healthy tunneled backend may legitimately spend tens of seconds on
     first-contact negotiation); on timeout the backend is treated as
     unusable and the (possibly still-sleeping) probe thread is abandoned.
-    A successful probe is cached by jax, so this costs one thread once.
+    A successful probe is cached by jax; a timed-out or failed probe is
+    cached here for the process lifetime (a later backend recovery would
+    otherwise charge every subsequent count the full timeout again).
     """
+    global _JAX_USABLE_CACHE
+    if _JAX_USABLE_CACHE is not None:
+        return _JAX_USABLE_CACHE
     import threading
 
     result: list[bool] = []
@@ -636,7 +641,12 @@ def _jax_usable() -> bool:
     except ValueError:
         timeout_s = 60.0
     t.join(timeout_s)
-    return bool(result) and result[0]
+    _JAX_USABLE_CACHE = bool(result) and result[0]
+    return _JAX_USABLE_CACHE
+
+
+#: process-lifetime verdict of _jax_usable (None = not probed yet)
+_JAX_USABLE_CACHE: bool | None = None
 
 
 def _jax_backend() -> str | None:

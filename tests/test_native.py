@@ -447,6 +447,7 @@ class TestEngineDispatch:
         monkeypatch.setattr(
             real_jax, "devices", lambda *a, **k: time.sleep(30)
         )
+        monkeypatch.setattr(eng, "_JAX_USABLE_CACHE", None)
         monkeypatch.setenv("KRUST_JAX_PROBE_TIMEOUT_S", "0.2")
         monkeypatch.delenv("KRUST_PLATFORM", raising=False)
         t0 = time.perf_counter()

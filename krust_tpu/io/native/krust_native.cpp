@@ -749,10 +749,15 @@ int64_t krust_count_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
                            int32_t thr, int32_t k, uint64_t* out_codes,
                            uint64_t* out_counts) {
     if (k < 1 || k > 32 || n < k) return 0;
-    if (k <= 12 && n >= (int64_t{1} << 16)) {
+    if (k <= 12 && n >= (int64_t{1} << 16) &&
+        n >= (int64_t{1} << (2 * k)) / 16) {
         // Counting sort: the code space (4^k <= 16M) fits a host histogram,
         // which doubles as the count vector — no materialized window array,
         // no sort, one sequential scan to emit the nonzero entries sorted.
+        // Gated on n >= 4^k/16 so a modest input doesn't pay a 134 MB
+        // (k=12) histogram sweep; smaller inputs take the radix/std::sort
+        // path below (safe for k >= 6; k <= 5 always passes this gate
+        // when n >= 2^16 since 4^5/16 = 64).
         std::vector<uint64_t> hist(uint64_t{1} << (2 * k));
         roll_range(codes, qual, thr, k, 0, n,
                    [&](uint64_t key) { ++hist[key]; });

@@ -284,6 +284,36 @@ def _flat_segments(n: int, k: int, w: int, batch_rows: int, row_multiple: int):
         yield row0, rows_padded, seg_bases, base0, max(covered, 0)
 
 
+def flat_scan(
+    codes: np.ndarray,
+    qual: np.ndarray | None,
+    quality_threshold: int | None,
+    max_inv: int,
+):
+    """The flat path's one-pass stream scan: ``(packed2 | None, invpos)``.
+
+    Native when available (fused 2-bit pack + invalid extraction), else a
+    vectorized numpy invalid scan with the 2-bit pack deferred to the
+    consumer. Returns None when invalids exceed ``max_inv`` (caller takes
+    the dense path). Callers that need both the batches AND lockstep
+    metadata run this once and hand the result to :func:`flat_batches`
+    (``prescanned=``) and :func:`flat_batch_widths` (``invpos=``) so the
+    multi-GB stream is scanned exactly once per process.
+    """
+    from . import native
+
+    scanned = native.scan_stream_native(codes, qual, quality_threshold, max_inv)
+    if scanned is not None:
+        packed2_pre, inv, n_inv = scanned
+        if n_inv > max_inv:
+            return None
+        return packed2_pre, inv
+    inv = invalid_positions(codes, qual, quality_threshold)
+    if inv.shape[0] > max_inv:
+        return None
+    return None, inv
+
+
 def flat_batch_widths(
     codes: np.ndarray,
     qual: np.ndarray | None,
@@ -292,19 +322,26 @@ def flat_batch_widths(
     block_windows: int = DEFAULT_BLOCK_WINDOWS,
     batch_rows: int = 8192,
     row_multiple: int = ROW_MULTIPLE,
+    invpos: np.ndarray | None = None,
 ) -> list[int] | None:
     """Padded invpos width per flat batch WITHOUT packing or materializing.
 
     The cheap metadata twin of :func:`flat_batches` — one vectorized invalid
-    scan of the stream, no 2-bit pack, no segment copies. Returns None under
-    exactly the conditions flat_batches would (so multi-process callers can
-    derive lockstep metadata from it and still agree on flat-vs-dense).
+    scan of the stream (skipped when ``invpos`` from a prior
+    :func:`flat_scan` is supplied), no 2-bit pack, no segment copies.
+    Returns None under exactly the conditions flat_batches would (so
+    multi-process callers can derive lockstep metadata from it and still
+    agree on flat-vs-dense).
     """
     w = block_windows
     if not _flat_eligible(k, w, batch_rows):
         return None
     n = codes.shape[0]
-    inv = invalid_positions(codes, qual, quality_threshold)
+    inv = (
+        invpos
+        if invpos is not None
+        else invalid_positions(codes, qual, quality_threshold)
+    )
     if inv.shape[0] > n // 32:
         return None
     widths = []
@@ -324,31 +361,30 @@ def flat_batches(
     block_windows: int = DEFAULT_BLOCK_WINDOWS,
     batch_rows: int = 8192,
     row_multiple: int = ROW_MULTIPLE,
+    prescanned: tuple[np.ndarray | None, np.ndarray] | None = None,
 ):
     """Yield :class:`FlatBatch` chunks, or None if the input is too dirty.
 
     Returns None (caller should use the dense badbits path) when invalid
     bases exceed 1/32 of the stream — past that point the positions array
     outweighs a dense bitmask. ``block_windows`` must be a multiple of 8 so
-    every row starts on a 4-base byte boundary.
+    every row starts on a 4-base byte boundary. ``prescanned`` accepts a
+    prior :func:`flat_scan` result (same ``max_inv = n // 32`` contract) so
+    callers needing lockstep metadata too scan the stream only once.
     """
-    from . import native
-
     w = block_windows
     if not _flat_eligible(k, w, batch_rows):
         return None
     n = codes.shape[0]
     max_inv = n // 32
-    scanned = native.scan_stream_native(codes, qual, quality_threshold, max_inv)
-    if scanned is not None:
-        packed2_pre, inv, n_inv = scanned
-        if n_inv > max_inv:
-            return None
-    else:
-        packed2_pre = None
-        inv = invalid_positions(codes, qual, quality_threshold)
-        if inv.shape[0] > max_inv:
-            return None
+    scan = (
+        prescanned
+        if prescanned is not None
+        else flat_scan(codes, qual, quality_threshold, max_inv)
+    )
+    if scan is None:
+        return None
+    packed2_pre, inv = scan
 
     def gen():
         packed2 = packed2_pre if packed2_pre is not None else pack2_full(codes)

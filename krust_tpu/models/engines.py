@@ -297,7 +297,7 @@ class NativeEngine:
             tracker.record_batch(streams.n_records, streams.n_bases)
             if progress is not None:
                 progress(tracker.snapshot())
-        return PackedCounts(k, uniq, cnt.astype(np.uint64))
+        return PackedCounts(k, uniq, np.asarray(cnt, dtype=np.uint64))
 
 
 # --- device batch engine ----------------------------------------------------------
@@ -592,7 +592,7 @@ class SequentialEngine:
             )
             thr = _quality_threshold(min_quality) if qarr is not None else None
             uniq, cnt = count_stream_numpy(codes, qarr, k, thr)
-            acc.add(uniq, cnt.astype(np.uint64))
+            acc.add(uniq, np.asarray(cnt, dtype=np.uint64))
             if tracker is not None:
                 tracker.record_sequence(len(seq))
                 if progress is not None:
@@ -662,11 +662,20 @@ def _cpu_platform_forced() -> bool:
     """True when the user explicitly asked for the jax-CPU platform.
 
     KRUST_PLATFORM=cpu is the documented way to exercise the jax pipeline
-    without an accelerator (tests, CI, the 8-device virtual mesh); honoring
-    it keeps auto-dispatch from silently rerouting those runs to the host
-    core.
+    without an accelerator (tests, CI, the 8-device virtual mesh), but the
+    canonical jax spellings — JAX_PLATFORMS=cpu or
+    ``jax.config.update("jax_platforms", "cpu")`` — count too; honoring
+    them keeps auto-dispatch from silently rerouting an explicitly
+    requested XLA-CPU run to the host core.
     """
-    return os.environ.get("KRUST_PLATFORM", "").lower() == "cpu"
+    if os.environ.get("KRUST_PLATFORM", "").lower() == "cpu":
+        return True
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return True
+    try:
+        return (jax.config.jax_platforms or "").lower() == "cpu"
+    except Exception:
+        return False
 
 
 def select_engine(cfg: EngineConfig):
@@ -733,7 +742,7 @@ def count_chunked_streams(
     for streams in chunks:
         thr = _quality_threshold(min_quality) if streams.qual is not None else None
         uniq, cnt = count_fn(streams.codes, streams.qual, k, thr)
-        acc.add(uniq, cnt.astype(np.uint64))
+        acc.add(uniq, np.asarray(cnt, dtype=np.uint64))
         if tracker is not None:
             tracker.record_batch(streams.n_records, streams.n_bases)
             if progress is not None:

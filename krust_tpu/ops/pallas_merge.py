@@ -58,7 +58,13 @@ L = 128
 #: VMEM for the keyed variant); tests shrink it via KRUST_MERGE_CHUNK for
 #: fast interpret-mode runs.
 CH = int(os.environ.get("KRUST_MERGE_CHUNK", 16384))
-assert CH >= 2048 and (CH & (CH - 1)) == 0, "CH must be a power of two >= 2048"
+if CH < 2048 or (CH & (CH - 1)) != 0:
+    raise ValueError(
+        f"KRUST_MERGE_CHUNK={CH}: since the 2*CH merge-network rework the "
+        "value is the DMA window and must be a power of two >= 2048 "
+        "(merged output per chunk is KRUST_MERGE_CHUNK - 1024); earlier "
+        "releases accepted any multiple of 1024"
+    )
 OUT = CH - 8 * L  # merged elements emitted per chunk (multiple of 1024)
 HALF = CH  # network half = the whole DMA window
 N = 2 * HALF  # merge network size

@@ -462,6 +462,9 @@ class DeviceTable:
         self._parts = []
         self._pending = 0
         self.windows_this_epoch = 0
+        # per-table-lifetime: a later finalize's mean-count gate must see
+        # only the windows feeding the CURRENT contents, not all history
+        self._windows_total = 0
 
 
 #: raw (hi, lo) entries accumulated before an epoch sort. 240M entries =
@@ -529,6 +532,10 @@ class EpochTable(DeviceTable):
         self._raw.append((u_hi.reshape(-1), u_lo.reshape(-1)))
         self._raw_pending += self._raw[-1][0].shape[0]
         self.windows_this_epoch += n_windows
+        # feeds the finalize pull's mean-count gate (the epoch path was
+        # leaving this at 0, unconditionally choosing the 4-bit packed pull
+        # even for high-duplication tables where exceptions dominate)
+        self._windows_total += n_windows
         if self._raw_pending >= EPOCH_ENTRY_LIMIT:
             self._flush_raw()
 

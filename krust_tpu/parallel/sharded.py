@@ -560,19 +560,31 @@ def count_sharded(
     while r_chip * 2 <= max(cfg.batch_rows // n_dev, 8):
         r_chip *= 2
 
-    def flat_factory():
-        fl = (
-            flat_batches(
-                streams.codes, qual_stream, k, thr, cfg.block_windows, r_chip
+    w_ = cfg.block_windows
+    # multi-process: the lockstep metadata pass (widths below) and the
+    # feeding pass both need the stream scan — run it ONCE and share
+    prescanned = None
+    prescan_done = False
+    if cfg.use_flat and procs > 1:
+        from ..io.packer import _flat_eligible, flat_scan
+
+        if _flat_eligible(k, w_, r_chip):
+            prescanned = flat_scan(
+                streams.codes, qual_stream, thr, streams.codes.shape[0] // 32
             )
-            if cfg.use_flat
-            else None
+            prescan_done = True
+
+    def flat_factory():
+        if not cfg.use_flat or (prescan_done and prescanned is None):
+            return None  # flat disabled, or prescan says too dirty
+        fl = flat_batches(
+            streams.codes, qual_stream, k, thr, w_, r_chip,
+            prescanned=prescanned,
         )
         return (
             None if fl is None else _flat_groups(fl, n_group, r_chip, w_, k)
         )
 
-    w_ = cfg.block_windows
     flat = flat_factory()
     if procs > 1 and sync_max(1 if flat is None else 0):
         # flat-vs-dense is data-dependent (dirty-input threshold); if ANY
@@ -583,10 +595,9 @@ def count_sharded(
     # (lockstep), so group counts sync to the global max and short processes
     # feed zero-covered dummy groups. Window accounting uses the GLOBAL
     # per-super-batch count so epoch flushes trigger identically everywhere.
-    # Lockstep metadata (count + invpos widths) comes from the cheap
-    # metadata twin of the packer (one vectorized invalid scan — no 2-bit
-    # pack, no segment copies), so the input is scanned-and-packed exactly
-    # once per process, by the single feeding pass.
+    # Lockstep metadata (count + invpos widths) and the feeding pass share
+    # the ONE prescanned stream scan above — no second pass of any kind
+    # over the input.
     if flat is not None:
         w = cfg.block_windows
         seg_bases = r_chip * w + k - 1
@@ -598,7 +609,8 @@ def count_sharded(
             from ..io.packer import flat_batch_widths
 
             batch_widths = flat_batch_widths(
-                streams.codes, qual_stream, k, thr, w, r_chip
+                streams.codes, qual_stream, k, thr, w, r_chip,
+                invpos=None if prescanned is None else prescanned[1],
             )
             assert batch_widths is not None  # agreed flat above
             # group consecutive per-chip batches exactly as _flat_groups

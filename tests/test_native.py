@@ -306,12 +306,14 @@ class TestNativeCountStream:
             parts.append(np.array([4], np.uint8))
         codes = np.concatenate(parts)[:-1]
         codes[rng.random(codes.size) < 0.001] = 4
-        for k in (13, 16, 21, 22, 31):
+        # k >= 13: radix regimes; k = 8, 11: the large-n counting-sort path
+        # (4^k histogram), which fixture-scale tests never reach
+        for k in (8, 11, 13, 16, 21, 22, 31):
             exp = count_stream_numpy(codes, None, k)
             got = native.count_stream_native(codes, None, None, k)
             if got is None:
                 pytest.skip("native lib unavailable")
-            assert int(got[1].sum()) >= (1 << 20)  # really in the radix regime
+            assert int(got[1].sum()) >= (1 << 20)  # really at engine scale
             np.testing.assert_array_equal(got[0], exp[0].astype(np.uint64))
             np.testing.assert_array_equal(got[1], exp[1].astype(np.uint64))
         # quality filtering through the same radix regimes (u32 and u64):
@@ -414,8 +416,20 @@ class TestEngineDispatch:
 
         monkeypatch.setattr(eng, "_jax_usable", lambda: True)
         monkeypatch.setattr(eng, "_jax_backend", lambda: "cpu")
-        monkeypatch.delenv("KRUST_PLATFORM", raising=False)
+        # the test process itself forces jax_platforms=cpu (conftest), so
+        # stub the forced-detection seam; its own behavior is covered by
+        # test_cpu_platform_forced_keeps_batch / test_jax_platforms_counts
+        monkeypatch.setattr(eng, "_cpu_platform_forced", lambda: False)
         assert isinstance(eng.select_engine(eng.EngineConfig()), eng.NativeEngine)
+
+    def test_jax_platforms_env_counts_as_forced(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setattr(eng, "_jax_usable", lambda: True)
+        monkeypatch.setattr(eng, "_jax_backend", lambda: "cpu")
+        monkeypatch.delenv("KRUST_PLATFORM", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert isinstance(eng.select_engine(eng.EngineConfig()), eng.BatchEngine)
 
     def test_cpu_platform_forced_keeps_batch(self, monkeypatch):
         from krust_tpu.models import engines as eng

@@ -48,6 +48,16 @@ def _build_lib() -> str:
         capture_output=True,
     )
     os.replace(tmp, lib_path)
+    # drop caches of older source revisions (safe on Linux: an unlinked .so
+    # stays mapped in any process that already loaded it)
+    prefix = os.path.join(os.path.dirname(_SRC), "libkrust_native_")
+    for old in os.listdir(os.path.dirname(_SRC)):
+        full = os.path.join(os.path.dirname(_SRC), old)
+        if full.startswith(prefix) and full.endswith(".so") and full != lib_path:
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
     return lib_path
 
 

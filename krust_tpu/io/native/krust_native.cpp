@@ -257,12 +257,15 @@ void krust_pack2(const uint8_t* codes, int64_t n, uint8_t* out) {
 namespace {
 
 // Scan output-byte range [b0, b1): pack into packed2, append invalid input
-// positions to inv (capped at cap entries; sets *overflow and stops early
-// when exceeded — the whole scan's outputs are discarded on overflow).
+// positions to inv. The cap on buffered positions is a budget SHARED by all
+// workers (*n_used counts every position buffered anywhere): total memory
+// held across threads stays <= cap entries — same bound as the sequential
+// scan — instead of cap per thread. Sets *overflow and stops early when the
+// budget runs out (the whole scan's outputs are discarded on overflow).
 void scan_range(const uint8_t* codes, const uint8_t* qual, int32_t thr,
                 uint8_t* packed2, int64_t b0, int64_t b1,
                 std::vector<int64_t>& inv, int64_t cap,
-                std::atomic<bool>* overflow) {
+                std::atomic<int64_t>* n_used, std::atomic<bool>* overflow) {
     for (int64_t b = b0; b < b1; ++b) {
         if ((b & 0xFFF) == 0 && overflow && overflow->load(std::memory_order_relaxed))
             return;
@@ -276,7 +279,10 @@ void scan_range(const uint8_t* codes, const uint8_t* qual, int32_t thr,
                       qual[i + 3] < thr))) {
             for (int j = 0; j < 4; ++j) {
                 if (codes[i + j] > 3 || (qual && qual[i + j] < thr)) {
-                    if (static_cast<int64_t>(inv.size()) >= cap) {
+                    // atomic per buffered position: invalids are rare on this
+                    // path (invalid-heavy streams trip the overflow bail and
+                    // rescan dense), so contention is transient by design
+                    if (n_used->fetch_add(1, std::memory_order_relaxed) >= cap) {
                         if (overflow) overflow->store(true, std::memory_order_relaxed);
                         return;
                     }
@@ -311,6 +317,7 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
     if (n_threads > 1 && full >= parallel_min) {
         const int64_t chunk = (full + n_threads - 1) / n_threads;
         std::atomic<bool> overflow{false};
+        std::atomic<int64_t> used{0};  // shared budget: <= max_inv buffered TOTAL
         std::vector<std::vector<int64_t>> local(n_threads);
         std::vector<std::thread> workers;
         workers.reserve(n_threads);
@@ -318,10 +325,9 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
             const int64_t b0 = static_cast<int64_t>(t) * chunk;
             const int64_t b1 = b0 + chunk < full ? b0 + chunk : full;
             if (b0 >= b1) break;
-            // per-thread cap: one thread alone exceeding max_inv is overflow
             workers.emplace_back([&, t, b0, b1] {
                 scan_range(codes, qual, thr, packed2, b0, b1, local[t],
-                           max_inv, &overflow);
+                           max_inv, &used, &overflow);
             });
         }
         for (auto& w : workers) w.join();
@@ -335,8 +341,10 @@ int64_t krust_scan_stream(const uint8_t* codes, int64_t n, const uint8_t* qual,
         }
     } else {
         std::atomic<bool> overflow{false};
+        std::atomic<int64_t> used{0};
         std::vector<int64_t> inv;
-        scan_range(codes, qual, thr, packed2, 0, full, inv, max_inv, &overflow);
+        scan_range(codes, qual, thr, packed2, 0, full, inv, max_inv, &used,
+                   &overflow);
         if (overflow.load(std::memory_order_relaxed)) return max_inv + 1;
         std::memcpy(invpos, inv.data(), inv.size() * sizeof(int64_t));
         n_inv = static_cast<int64_t>(inv.size());

@@ -138,6 +138,10 @@ def _pull_delta_packed(
     codes the host re-gathers; counts >= 15 re-gather through the same
     machinery as the 8-bit saturations. ``cap`` must be even.
     """
+    # evenness currently holds because _pull_size yields pow2 / 2^18-quantum
+    # sizes; fail loudly (not with an opaque jit stack-shape error) if a
+    # future _pull_size or table-capacity change breaks that
+    assert cap % 2 == 0, f"_pull_delta_packed requires an even cap, got {cap}"
     exc = (1 << bits) - 1
     d = _delta_stream(hi, lo, cap, exc)
     d0 = d[0::2]

@@ -78,6 +78,7 @@ from .histogram import (
 from .index import KmerIndex, load_index, save_index
 from .io.format import SequenceFormat
 from .io.input import Input
+from .io.mmapfile import MmapFasta
 from .kmer import (
     Kmer,
     KmerBase,
@@ -136,6 +137,7 @@ __all__ = [
     "canonical_string",
     # io
     "Input",
+    "MmapFasta",
     "SequenceFormat",
     # output / histogram
     "OutputFormat",

@@ -126,15 +126,17 @@ def count_kmers_mmap(
 ) -> dict[str, int]:
     """Count from a memory-mapped FASTA file (reference: src/run.rs:691-756).
 
-    The file bytes are mapped read-only instead of read eagerly; parsing
-    consumes the map directly (page-cache-backed, no heap copy of the file).
+    The file bytes are mapped read-only through :class:`~krust_tpu.io.
+    mmapfile.MmapFasta` instead of read eagerly; parsing consumes the map
+    directly (page-cache-backed, no heap copy of the file).
     """
+    from .io.mmapfile import MmapFasta
+
     resolved = SequenceFormat.AUTO.resolve(path)
-    with open(path, "rb") as f:
-        if os.fstat(f.fileno()).st_size == 0:
+    with MmapFasta.open(path) as mapped:
+        if mapped.is_empty():
             return {}
-        with _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ) as mm:
-            streams = parse_to_streams(mm, resolved)
+        streams = parse_to_streams(mapped.as_bytes(), resolved)
     return count_streams(streams, KmerLength(k).get(), config=config).to_string_dict()
 
 

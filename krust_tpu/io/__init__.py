@@ -8,10 +8,12 @@ from .reader import (
     read_records_with_quality,
     stream_input_chunks,
 )
+from .mmapfile import MmapFasta
 from .packer import PackedBatch, pack_buffer, blockize
 
 __all__ = [
     "Input",
+    "MmapFasta",
     "SequenceFormat",
     "SequenceWithQuality",
     "read_records",

@@ -115,6 +115,58 @@ class TestFormatsAndSources:
         # reference: tests/mmap_tests.rs
         assert kt.count_kmers_mmap(simple_fa, 5) == kt.count_kmers(simple_fa, 5)
 
+    def test_mmap_handles_with_n(self, fixtures_dir):
+        # reference: tests/mmap_tests.rs count_kmers_mmap_handles_with_n
+        path = fixtures_dir / "with_n.fa"
+        got = kt.count_kmers_mmap(path, 4)
+        assert got and got == kt.count_kmers(path, 4)
+
+
+class TestMmapFasta:
+    """Public mmap type surface (reference: src/mmap.rs:29-71,
+    tests/mmap_tests.rs)."""
+
+    def test_open_and_read(self, simple_fa):
+        # reference: tests/mmap_tests.rs mmap_fasta_open_and_read
+        with kt.MmapFasta.open(simple_fa) as m:
+            assert not m.is_empty()
+            assert bytes(m.as_bytes()[:5]) == b">seq1"
+
+    def test_len(self, tmp_path):
+        # reference: tests/mmap_tests.rs mmap_fasta_len
+        p = tmp_path / "t.fa"
+        p.write_bytes(b"ACGT")
+        with kt.MmapFasta.open(p) as m:
+            assert m.len() == 4
+            assert len(m) == 4
+
+    def test_empty_file(self, tmp_path):
+        p = tmp_path / "empty.fa"
+        p.write_bytes(b"")
+        with kt.MmapFasta.open(p) as m:
+            assert m.is_empty() and m.len() == 0
+            assert bytes(m.as_bytes()) == b""
+
+    def test_nonexistent_file_error(self, tmp_path):
+        # reference: tests/mmap_tests.rs mmap_fasta_nonexistent_file_error
+        with pytest.raises(OSError):
+            kt.MmapFasta.open(tmp_path / "nonexistent_file.fa")
+
+    def test_close_idempotent_and_repr(self, simple_fa):
+        m = kt.MmapFasta.open(simple_fa)
+        assert not m.closed and "bytes" in repr(m)
+        m.close()
+        m.close()
+        assert m.closed and "closed" in repr(m)
+
+    def test_zero_copy_parse(self, simple_fa):
+        # the mapped view feeds the parser directly (what count_kmers_mmap does)
+        from krust_tpu.io.reader import parse_to_streams
+
+        with kt.MmapFasta.open(simple_fa) as m:
+            streams = parse_to_streams(m.as_bytes(), SequenceFormat.FASTA)
+        assert streams.n_records == 2
+
     def test_streaming_equals_batch(self, simple_fa):
         assert kt.count_kmers_streaming(simple_fa, 5) == kt.count_kmers(simple_fa, 5)
 

@@ -192,16 +192,42 @@ def count_kmers_sharded_result(
 # --- packed + streaming API (reference: src/streaming.rs) ---------------------------
 
 
+#: default record-aligned chunk size for the *_streaming functions: inputs
+#: stream through the engine in chunks of this size, so host RSS stays
+#: bounded no matter how large the file (a file smaller than one chunk
+#: parses in a single chunk — effectively the eager path)
+DEFAULT_STREAMING_CHUNK_BYTES = 256 << 20
+
+
+def _streaming_config(config: EngineConfig | None = None) -> EngineConfig:
+    """Config for the streaming entry points: bounded-memory ingest ON.
+
+    Unlike the reference — whose "streaming" engine reads the entire file
+    before the parallel pass (src/streaming.rs:857-899) — the functions
+    named streaming here default to true record-aligned chunked ingest;
+    results are exactly equal either way. An explicit
+    ``ingest_chunk_bytes`` (any truthy value, or 0/None to force eager)
+    is respected.
+    """
+    cfg = config or EngineConfig()
+    if cfg.ingest_chunk_bytes is None:
+        from dataclasses import replace
+
+        cfg = replace(cfg, ingest_chunk_bytes=DEFAULT_STREAMING_CHUNK_BYTES)
+    return cfg
+
+
 def count_kmers_streaming(path: str | os.PathLike, k: int) -> dict[str, int]:
-    """Count in device-sized batches — genome may exceed device memory
-    (reference: src/streaming.rs:95-120)."""
-    return _count_path(path, k).to_string_dict()
+    """Count in bounded-memory chunks — genome may exceed host/device memory
+    (reference: src/streaming.rs:95-120, which despite the name parses the
+    whole file eagerly; this one actually streams)."""
+    return _count_path(path, k, config=_streaming_config()).to_string_dict()
 
 
 def count_kmers_streaming_packed(path: str | os.PathLike, k: int) -> dict[int, int]:
     """Packed-key variant, avoiding string materialization
     (reference: src/streaming.rs:158-167)."""
-    return _count_path(path, k).to_packed_dict()
+    return _count_path(path, k, config=_streaming_config()).to_packed_dict()
 
 
 def count_kmers_packed(path: str | os.PathLike, k: int) -> dict[int, int]:

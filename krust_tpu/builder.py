@@ -124,8 +124,18 @@ class KmerCounter:
         return self._filtered(result.to_packed_dict())
 
     def count_streaming(self, path: str | os.PathLike) -> dict[str, int]:
-        """Batched count path (reference: src/builder.rs count_streaming)."""
-        return self.count(path)
+        """Bounded-memory chunked count (reference: src/builder.rs
+        count_streaming — whose engine is eager; this one streams unless the
+        builder config pins ``ingest_chunk_bytes`` otherwise)."""
+        k = self._require_k()
+        counts = api._count_path(
+            path,
+            k,
+            self._input_format,
+            self._min_quality,
+            api._streaming_config(self._config),
+        ).to_string_dict()
+        return self._filtered(counts)
 
     def count_sharded(self, path: str | os.PathLike, mesh=None) -> dict[str, int]:
         """Count across every device of a mesh (new capability; exact and

@@ -161,6 +161,53 @@ class TestFromReaderBounded:
             got = kt.count_kmers_from_reader(f, 5, SequenceFormat.FASTQ)
         assert got == kt.count_kmers_with_format(str(p), 5, SequenceFormat.FASTQ)
 
+    def test_streaming_api_defaults_to_chunked(self, tmp_path, seqs, monkeypatch):
+        """count_kmers_streaming never eager-parses: a file far larger than
+        the configured chunk is counted exactly through stream_input_chunks
+        (round-4 change: the name is now true — the reference's same-named
+        function batches everything, src/streaming.rs:857-899)."""
+        import krust_tpu.api as api_mod
+
+        p = tmp_path / "big.fa"
+        _write_fasta(p, seqs)
+        expected = oracle.count_sequences(seqs, 7)
+
+        # the eager path goes through read_input_bytes; poison it so any
+        # whole-file parse fails loudly
+        def _boom(*a, **kw):
+            raise AssertionError("streaming API must not eager-read the file")
+
+        monkeypatch.setattr(api_mod, "read_input_bytes", _boom)
+        monkeypatch.setattr(
+            api_mod, "DEFAULT_STREAMING_CHUNK_BYTES", 512
+        )
+        assert kt.count_kmers_streaming(str(p), 7) == expected
+        packed = kt.count_kmers_streaming_packed(str(p), 7)
+        assert len(packed) == len(expected)
+        assert sum(packed.values()) == sum(expected.values())
+
+    def test_builder_count_streaming_chunked(self, tmp_path, seqs, monkeypatch):
+        import krust_tpu.api as api_mod
+
+        p = tmp_path / "big.fa"
+        _write_fasta(p, seqs)
+        monkeypatch.setattr(api_mod, "DEFAULT_STREAMING_CHUNK_BYTES", 512)
+        got = kt.KmerCounter().k(7).min_count(2).count_streaming(str(p))
+        expected = {
+            km: c for km, c in oracle.count_sequences(seqs, 7).items() if c >= 2
+        }
+        assert got == expected
+
+    def test_streaming_api_respects_explicit_eager(self, tmp_path, seqs):
+        """An explicit ingest_chunk_bytes=0 keeps the builder eager."""
+        p = tmp_path / "in.fa"
+        _write_fasta(p, seqs)
+        cfg = EngineConfig(ingest_chunk_bytes=0)
+        got = (
+            kt.KmerCounter().k(7).engine_config(cfg).count_streaming(str(p))
+        )
+        assert got == oracle.count_sequences(seqs, 7)
+
     def test_stdin_pipe_larger_than_chunk(self, tmp_path, seqs):
         """CLI stdin: input many times the chunk size, exact counts."""
         import subprocess

@@ -94,3 +94,64 @@ def test_builder_engine_config_reaches_engine(tmp_path, monkeypatch):
     cfg = EngineConfig(block_windows=64, batch_rows=8)
     KmerCounter.new().k(3).engine_config(cfg).count(p)
     assert seen["config"] is cfg
+
+
+class TestJaxProbeDeadline:
+    """select_engine must survive a hanging backend probe (VERDICT r3 #9).
+
+    A dead tunneled accelerator has two observed failure modes for
+    ``jax.devices()``: fast connection-refused and retry-sleep-forever
+    inside a C call. The probe contract: with a never-returning
+    ``jax.devices``, select_engine falls back to NativeEngine within the
+    KRUST_JAX_PROBE_TIMEOUT_S deadline instead of hanging the process.
+    """
+
+    def test_hanging_devices_probe_times_out(self, monkeypatch):
+        import threading
+        import time
+
+        import jax
+
+        from krust_tpu.models import engines as eng
+
+        hang = threading.Event()
+
+        def never_returns():
+            hang.wait()  # blocks until the test ends; thread is a daemon
+            return []
+
+        monkeypatch.setattr(jax, "devices", never_returns)
+        monkeypatch.setenv("KRUST_JAX_PROBE_TIMEOUT_S", "0.5")
+        old_cache = eng._JAX_USABLE_CACHE
+        eng._JAX_USABLE_CACHE = None  # force a fresh probe
+        try:
+            t0 = time.monotonic()
+            engine = eng.select_engine(EngineConfig())
+            elapsed = time.monotonic() - t0
+            assert isinstance(engine, eng.NativeEngine)
+            assert elapsed < 5.0, f"probe did not honor its deadline ({elapsed:.1f}s)"
+            # the verdict is cached: a second select is instant
+            t0 = time.monotonic()
+            engine2 = eng.select_engine(EngineConfig())
+            assert isinstance(engine2, eng.NativeEngine)
+            assert time.monotonic() - t0 < 0.1
+        finally:
+            eng._JAX_USABLE_CACHE = old_cache
+            hang.set()  # release the abandoned probe thread
+
+    def test_failing_devices_probe_falls_back(self, monkeypatch):
+        import jax
+
+        from krust_tpu.models import engines as eng
+
+        def raises():
+            raise RuntimeError("backend exploded")
+
+        monkeypatch.setattr(jax, "devices", raises)
+        old_cache = eng._JAX_USABLE_CACHE
+        eng._JAX_USABLE_CACHE = None
+        try:
+            engine = eng.select_engine(EngineConfig())
+            assert isinstance(engine, eng.NativeEngine)
+        finally:
+            eng._JAX_USABLE_CACHE = old_cache

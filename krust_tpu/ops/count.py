@@ -124,7 +124,7 @@ def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
 
     valid = weight > 0
     sentinel = jnp.uint32(0xFFFFFFFF)
-    if k <= 15:
+    if k <= 16:
         key = jnp.where(valid, lo, sentinel)
         s_lo, s_w = jax.lax.sort((key, weight), num_keys=1)
         s_hi = jnp.zeros_like(s_lo)
@@ -152,7 +152,7 @@ def merge_runs(hi: jax.Array, lo: jax.Array, weight: jax.Array, k: int):
     # compaction with the pad flag FOLDED INTO the key (k < 32 keys never
     # reach the sentinel): one less sort operand than a separate pad key —
     # this sort is the single most expensive op in the merge
-    if k <= 15:
+    if k <= 16:
         c_lo, c_cnt = jax.lax.sort(
             (
                 jnp.where(emit, s_lo, sentinel),
@@ -227,8 +227,10 @@ def count_runs(hi: jax.Array, lo: jax.Array, valid: jax.Array, k: int):
     the compaction scatters of :func:`count_unique` and sorts the minimum
     number of operands for the given k:
 
-    - k <= 15: codes fit 30 bits, so 0xFFFFFFFF is a safe invalid sentinel
-      and one sort operand suffices;
+    - k <= 16: codes fit 32 bits with hi identically zero, and 0xFFFFFFFF is
+      a safe invalid sentinel even at k == 16 — the all-T k-mer is never
+      canonical (its reverse complement is all-A == 0) — so one sort operand
+      suffices;
     - k <= 31: hi <= 4^(k-16)-1 < 0xFFFFFFFF, so the sentinel pair is safe
       with two operands;
     - k == 32: T^32 == all-ones, sentinel unsafe; carry an invalid flag key.
@@ -241,7 +243,7 @@ def count_runs(hi: jax.Array, lo: jax.Array, valid: jax.Array, k: int):
         return z, z, z
 
     sentinel = jnp.uint32(0xFFFFFFFF)
-    if k <= 15:
+    if k <= 16:
         key = jnp.where(valid, lo, sentinel)
         (s_lo,) = jax.lax.sort((key,), num_keys=1)
         s_hi = jnp.zeros_like(s_lo)

@@ -484,8 +484,10 @@ def _epoch_sort_rle(hi, lo, one_key, interpret):
     from .pallas_rle import rle_compact
 
     if one_key:
-        # k <= 15: hi is identically zero, lo alone orders the keys and
-        # lo == SENT marks invalid windows (canonical codes < 2^30)
+        # k <= 16: hi is identically zero, lo alone orders the keys and
+        # lo == SENT safely marks invalid windows — even at k == 16, where
+        # codes span all 32 bits, the all-ones code (the all-T k-mer) is
+        # never canonical because its reverse complement is all-A == 0
         (s_lo,) = jax.lax.sort((lo,), num_keys=1, is_stable=False)
         s_hi = jnp.where(
             s_lo == jnp.uint32(0xFFFFFFFF), s_lo, jnp.zeros_like(s_lo)
@@ -566,7 +568,7 @@ class EpochTable(DeviceTable):
             self._raw = []
             self._raw_pending = 0
             self._pending_epoch = _epoch_sort_rle(
-                hi, lo, self._k <= 15, self._interpret
+                hi, lo, self._k <= 16, self._interpret
             )
 
     def _merge_compacted(self) -> None:

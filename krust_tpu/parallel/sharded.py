@@ -421,7 +421,7 @@ class EpochShardedTable(ShardedTable):
         self._raw = []
         self._raw_pending = 0
         self._pending_epoch = _epoch_sort_rle_sharded(
-            hi, lo, self._k <= 15, self._interpret, self._mesh
+            hi, lo, self._k <= 16, self._interpret, self._mesh
         )
 
     def _merge_compacted(self) -> None:

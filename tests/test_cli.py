@@ -14,9 +14,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def kmix(*args, stdin: bytes | None = None):
+def kmix(*args, stdin: bytes | None = None, engine: str = "native"):
     env = dict(os.environ)
     env["KRUST_PLATFORM"] = "cpu"
+    # black-box tests assert CLI semantics, not the XLA pipeline (the
+    # library suites cover that differentially); the native engine skips
+    # the ~12 s/process XLA-CPU compile. engine="device" opts back in.
+    env["KRUST_ENGINE"] = engine
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "krust_tpu", *args],
@@ -368,3 +372,22 @@ class TestReferenceIntegrationParity2:
         r = kmix("query", "-h")
         assert r.returncode == 0
         assert b"usage" in r.stdout.lower() or b"usage" in r.stderr.lower()
+
+
+@pytest.mark.slow
+class TestDevicePipelineCLI:
+    """One black-box pass through the full jax/XLA pipeline (the other CLI
+    tests use the native engine for speed; library suites cover the device
+    engine differentially). Costs one XLA-CPU compile per subprocess."""
+
+    def test_device_engine_counts_match(self, simple_fa):
+        rn = kmix("3", simple_fa, "-f", "tsv", "-q")
+        rd = kmix("3", simple_fa, "-f", "tsv", "-q", engine="device")
+        assert rd.returncode == 0, rd.stderr
+        assert parse_tsv(rd.stdout) == parse_tsv(rn.stdout) == SIMPLE_EXPECTED_K3
+
+    def test_device_engine_quiet_contract(self, simple_fa):
+        # --quiet must stay byte-silent on stderr through the jax pipeline too
+        rd = kmix("21", simple_fa, "-f", "tsv", "-q", engine="device")
+        assert rd.returncode == 0
+        assert rd.stderr == b""

@@ -86,3 +86,22 @@ def test_epoch_table_raw_epoch_entry_flush(monkeypatch):
     exp = NumpyEngine(EngineConfig()).count(streams, 13)
     assert np.array_equal(got.codes, exp.codes)
     assert np.array_equal(got.counts, exp.counts)
+
+
+def test_k16_one_op_sentinel_safety():
+    """k=16 rides the 1-operand epoch sort (round 4): codes span all 32
+    bits, so the invalid-window sentinel 0xFFFFFFFF is only safe because
+    the all-T k-mer is never canonical (its RC is all-A == 0). Feed
+    poly-T runs abutting Ns — codes adjacent to the sentinel — and require
+    exact equality with the oracle."""
+    t = np.full(600, 3, np.uint8)  # poly-T: fwd code all-ones
+    n = np.full(3, INVALID_CODE, np.uint8)
+    rng = np.random.default_rng(16)
+    codes = np.concatenate([t, n, _stream(rng, 3000), n, t])
+    streams = ParsedStreams(codes, None, 1, codes.shape[0])
+    got = BatchEngine(_cfg()).count(streams, 16)
+    exp = NumpyEngine(EngineConfig()).count(streams, 16)
+    assert np.array_equal(got.codes, exp.codes)
+    assert np.array_equal(got.counts, exp.counts)
+    # the all-A canonical code (poly-T folded) dominates
+    assert got.codes[0] == 0 and got.counts[0] >= 2 * (600 - 15)

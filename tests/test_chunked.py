@@ -215,7 +215,7 @@ class TestFromReaderBounded:
 
         p = tmp_path / "in.fa"
         _write_fasta(p, seqs)
-        env = dict(os.environ, KRUST_PLATFORM="cpu")
+        env = dict(os.environ, KRUST_PLATFORM="cpu", KRUST_ENGINE="native")
         out = subprocess.run(
             [sys.executable, "-m", "krust_tpu", "7", "-", "-f", "tsv", "-q"],
             stdin=open(p, "rb"),

@@ -73,6 +73,7 @@ def test_epoch_table_vs_device_table():
     assert np.array_equal(a.counts, b.counts)
 
 
+@pytest.mark.slow
 def test_epoch_table_raw_epoch_entry_flush(monkeypatch):
     """Force the raw-entry epoch limit so multiple sort+rle flushes and the
     compacted-part merge path execute."""

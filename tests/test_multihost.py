@@ -21,6 +21,8 @@ import pytest
 
 import oracle
 
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     s = socket.socket()

@@ -44,7 +44,8 @@ def test_truncated_gzip_cli_exit_code(tmp_path):
         [sys.executable, "-m", "krust_tpu", "3", str(p), "-q"],
         capture_output=True,
         text=True,
-        env={"KRUST_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "PYTHONPATH": "."},
+        env={"KRUST_PLATFORM": "cpu", "KRUST_ENGINE": "native",
+             "PATH": "/usr/bin:/bin", "PYTHONPATH": "."},
     )
     assert r.returncode == 1
     assert "Traceback" not in r.stderr
@@ -68,7 +69,8 @@ def test_quiet_suppresses_min_quality_warning(tmp_path):
         [sys.executable, "-m", "krust_tpu", "3", str(p), "-q", "-Q", "20"],
         capture_output=True,
         text=True,
-        env={"KRUST_PLATFORM": "cpu", "PATH": "/usr/bin:/bin", "PYTHONPATH": "."},
+        env={"KRUST_PLATFORM": "cpu", "KRUST_ENGINE": "native",
+             "PATH": "/usr/bin:/bin", "PYTHONPATH": "."},
     )
     assert r.returncode == 0
     assert r.stderr == ""  # the quiet contract: zero stderr

@@ -191,6 +191,7 @@ class TestExchangeOverflow:
             table.exchange(capacity_factor=1)
 
 
+@pytest.mark.slow
 def test_epoch_flush_defers_sync(eight_devices):
     """The sharded epoch flush must NOT sync the n scalar at dispatch time:
     the sort result stays an unresolved _pending_epoch so queued batches
@@ -235,6 +236,7 @@ def test_epoch_flush_defers_sync(eight_devices):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_sharded_all_k_sweep(eight_devices):
     """Exhaustive k=1..=32 differential on the sharded epoch engine: the
     sentinel/key-regime boundaries (15/16, 31/32) and everything between

@@ -65,6 +65,7 @@ def test_count_kmers_sniffed_misnamed_fastq(tmp_path):
     assert got == count_kmers(q, 3)
 
 
+@pytest.mark.slow
 class TestShardedApi:
     def _fasta(self, tmp_path, n=16):
         rng = np.random.default_rng(5)
@@ -92,6 +93,7 @@ class TestShardedApi:
         assert got == exp
 
 
+@pytest.mark.slow
 def test_sharded_gzip_fastq_quality(tmp_path):
     """BASELINE config 5 composition: gzip FASTQ -> sharded count, with
     quality filtering, equals the single-device engine."""

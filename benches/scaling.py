@@ -8,11 +8,16 @@ per-device work held constant (ideal = 1.0).
 On this rig only virtual CPU devices are available (one real TPU chip), so
 the numbers characterize the orchestration overhead and collective volume,
 not ICI hardware — the harness is the methodology that runs unchanged on a
-real pod slice. Run: KRUST_PLATFORM=cpu python benches/scaling.py
+real pod slice. Every mesh size is also exactness-checked against the host
+oracle, so the artifact doubles as a determinism record.
+
+Run: KRUST_PLATFORM=cpu python benches/scaling.py [out.json]
+(also honors SCALING_OUT; prints one JSON line to stdout either way)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -53,15 +58,16 @@ def main() -> None:
     cfg = EngineConfig(
         block_windows=4096, batch_rows=256, use_epoch_sort=on_tpu
     )
-    if not on_tpu:
+    virtual = not on_tpu
+    if virtual:
         print(
             "# NOTE: virtual CPU devices share one physical core — weak\n"
-            "# scaling MUST degrade ~1/n here. This run only validates the\n"
-            "# harness + exactness; efficiency numbers are meaningful solely\n"
-            "# on real multi-chip hardware.",
+            "# scaling MUST degrade ~1/n here. This run validates the\n"
+            "# harness + exactness per mesh size; efficiency numbers are\n"
+            "# meaningful solely on real multi-chip hardware.",
             flush=True,
         )
-    results = {}
+    meshes = []
     t1 = None
     for n in sizes:
         streams = make_streams(per_dev_bases * n)
@@ -73,17 +79,57 @@ def main() -> None:
             res = count_sharded(streams, k, mesh=mesh, config=cfg)
             ts.append(time.perf_counter() - t0)
         t = min(ts)
+        exp = NumpyEngine().count(streams, k)
+        exact = bool(
+            np.array_equal(res.codes, exp.codes)
+            and np.array_equal(res.counts, exp.counts)
+        )
+        assert exact, f"sharded result diverged from oracle at {n} devices"
         if n == 1:
             t1 = t
-            exp = NumpyEngine().count(streams, k)
-            assert np.array_equal(res.codes, exp.codes), "exactness"
-        eff = t1 / t if t1 else 1.0
-        results[n] = (t, eff)
+        eff = (t1 / t) if t1 else 1.0
+        row = {
+            "devices": n,
+            "bases": per_dev_bases * n,
+            "wall_s": round(t, 4),
+            "bases_per_s": round(per_dev_bases * n / t, 1),
+            "weak_scaling_efficiency": round(eff, 4),
+            "exact_vs_oracle": exact,
+        }
+        meshes.append(row)
         print(
-            f"devices={n} bases={per_dev_bases * n} wall={t:.2f}s "
-            f"weak_scaling_efficiency={eff:.2f}",
+            f"devices={n} bases={row['bases']} wall={t:.2f}s "
+            f"weak_scaling_efficiency={eff:.2f} exact={exact}",
             flush=True,
         )
+
+    result = {
+        "metric": "weak-scaling efficiency, sharded count pipeline, k=21",
+        "platform": jax.devices()[0].platform,
+        "virtual_cpu_mesh": virtual,
+        "n_physical_cores": os.cpu_count(),
+        "per_device_bases": per_dev_bases,
+        "target_efficiency": 0.85,
+        "meshes": meshes,
+        "note": (
+            "virtual CPU devices timeshare one physical core: wall-clock "
+            "efficiency is ~1/n by construction and does NOT reflect ICI "
+            "scaling; exact_vs_oracle per mesh size is the meaningful "
+            "signal off-chip"
+            if virtual
+            else "real accelerator mesh"
+        ),
+    }
+    out = None
+    if len(sys.argv) > 1:
+        out = sys.argv[1]
+    elif os.environ.get("SCALING_OUT"):
+        out = os.environ["SCALING_OUT"]
+    line = json.dumps(result)
+    print(line, flush=True)
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

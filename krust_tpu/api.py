@@ -115,9 +115,33 @@ def count_kmers_with_quality(
 
 
 def count_kmers_with_progress(
-    path: str | os.PathLike, k: int, callback: ProgressCallback
+    path: str | os.PathLike,
+    k: int,
+    callback: ProgressCallback,
+    exact_cadence: bool = False,
 ) -> dict[str, int]:
-    """Count while reporting progress (reference: src/run.rs:382-426)."""
+    """Count while reporting progress (reference: src/run.rs:382-426).
+
+    Cadence: the device engine's unit of work is a window batch, so by
+    default the callback fires once per batch with record/base totals
+    apportioned by window fraction and trued up exactly at the end
+    (monotonic, exact totals — see models/engines._ProgressPacer). The
+    reference fires after every sequence from its worker threads
+    (reference: src/run.rs:586-654); pass ``exact_cadence=True`` for that
+    behavior — one callback per record with exact running totals, on the
+    record-at-a-time engine (slower; meant for progress bars over few
+    huge records where per-batch estimates are too coarse).
+    """
+    if exact_cadence:
+        kk = KmerLength(k).get()
+        resolved = SequenceFormat.AUTO.resolve(path)
+        with span("read_sequences", path=str(path), format=str(resolved)):
+            data = read_input_bytes(path)
+            records = parse_records(data, resolved)
+        engine = SequentialEngine()
+        return engine.count_records(
+            records, kk, progress=callback, tracker=ProgressTracker()
+        ).to_string_dict()
     return _count_path(path, k, progress=callback).to_string_dict()
 
 

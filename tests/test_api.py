@@ -223,6 +223,18 @@ class TestProgress:
         assert snaps[-1].sequences_processed == 2
         assert snaps[-1].bases_processed == 15
 
+    def test_progress_exact_cadence(self, simple_fa):
+        # reference cadence (src/run.rs:586-654): one callback per record
+        # with exact running totals
+        snaps = []
+        counts = kt.count_kmers_with_progress(
+            simple_fa, 3, snaps.append, exact_cadence=True
+        )
+        assert counts == kt.count_kmers(simple_fa, 3)
+        assert [s.sequences_processed for s in snaps] == [1, 2]
+        assert snaps[0].bases_processed == 8  # ACGTACGT
+        assert snaps[-1].bases_processed == 15
+
 
 class TestRunApis:
     def test_run_with_options_tsv(self, simple_fa, capsys):

@@ -15,7 +15,7 @@ Architecture (TPU-first, not a port — see SURVEY.md §7):
   host/device merge    -> u64 totals; multi-chip via hash-sharded all-to-all
 """
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 import os as _os
 

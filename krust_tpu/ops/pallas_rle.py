@@ -170,14 +170,32 @@ def _dyn_shift_up(x, t):
     return x
 
 
-def _rle_kernel(unit, hi_ref, lo_ref, *rest):
-    if unit:
-        (ohi_ref, olo_ref, ocnt_ref, n_ref,
-         st_hi, st_lo, st_cnt, carry_row, state_u, state_i, sems) = rest
+def _rle_kernel(unit, one_key, *refs):
+    """RLE/compaction kernel body.
+
+    ``one_key``: k <= 16 — the hi plane is identically zero for real codes
+    and SENT for sentinels, i.e. fully determined by lo, so it is neither
+    read, routed, nor written (the wrapper synthesizes output hi from lo);
+    saves one input DMA plane, one output plane, and a third of the
+    compare/route work on the all-windows epoch-flush volume.
+    """
+    if one_key:
+        hi_ref = None
+        if unit:
+            (lo_ref, olo_ref, ocnt_ref, n_ref,
+             st_lo, st_cnt, carry_row, state_u, state_i, sems) = refs
+            cnt_ref = None
+        else:
+            (lo_ref, cnt_ref, olo_ref, ocnt_ref, n_ref,
+             st_lo, st_cnt, carry_row, state_u, state_i, sems) = refs
+        st_hi = ohi_ref = None
+    elif unit:
+        (hi_ref, lo_ref, ohi_ref, olo_ref, ocnt_ref, n_ref,
+         st_hi, st_lo, st_cnt, carry_row, state_u, state_i, sems) = refs
         cnt_ref = None
     else:
-        (cnt_ref, ohi_ref, olo_ref, ocnt_ref, n_ref,
-         st_hi, st_lo, st_cnt, carry_row, state_u, state_i, sems) = rest
+        (hi_ref, lo_ref, cnt_ref, ohi_ref, olo_ref, ocnt_ref, n_ref,
+         st_hi, st_lo, st_cnt, carry_row, state_u, state_i, sems) = refs
 
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -191,19 +209,27 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
 
     def run(whi, wlo, wcnt):
         idx = _iota()
-        sent = (whi == jnp.uint32(SENT)) & (wlo == jnp.uint32(SENT))
+        if one_key:
+            sent = wlo == jnp.uint32(SENT)
+        else:
+            sent = (whi == jnp.uint32(SENT)) & (wlo == jnp.uint32(SENT))
 
         carry_cnt = state_u[0]
         carry_hi = state_u[1]
         carry_lo = state_u[2]
 
-        p_hi = _from_below(whi, 1, idx, jnp.uint32(0))
         p_lo = _from_below(wlo, 1, idx, jnp.uint32(0))
-        n_hi = _from_above(whi, 1, idx, jnp.uint32(SENT))
         n_lo = _from_above(wlo, 1, idx, jnp.uint32(SENT))
-        first_matches = (whi[0, 0] == carry_hi) & (wlo[0, 0] == carry_lo)
-        is_start = (whi != p_hi) | (wlo != p_lo) | (idx == 0)
-        next_differs = (whi != n_hi) | (wlo != n_lo)
+        if one_key:
+            first_matches = wlo[0, 0] == carry_lo
+            is_start = (wlo != p_lo) | (idx == 0)
+            next_differs = wlo != n_lo
+        else:
+            p_hi = _from_below(whi, 1, idx, jnp.uint32(0))
+            n_hi = _from_above(whi, 1, idx, jnp.uint32(SENT))
+            first_matches = (whi[0, 0] == carry_hi) & (wlo[0, 0] == carry_lo)
+            is_start = (whi != p_hi) | (wlo != p_lo) | (idx == 0)
+            next_differs = (whi != n_hi) | (wlo != n_lo)
 
         if wcnt is None:
             run_start = _cummax_i32(jnp.where(is_start, idx, 0), idx)
@@ -224,23 +250,35 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
 
         emit = (idx < CH) & next_differs & ~sent
 
-        (e_hi, e_lo, e_cnt), n_emit = _compress(
-            (whi, wlo, run_sum), emit, idx
-        )
+        if one_key:
+            (e_lo, e_cnt), n_emit = _compress((wlo, run_sum), emit, idx)
+            staged = [(st_lo, e_lo, 1), (st_cnt, e_cnt, 2)]
+            outs = [(st_lo, olo_ref), (st_cnt, ocnt_ref)]
+        else:
+            (e_hi, e_lo, e_cnt), n_emit = _compress(
+                (whi, wlo, run_sum), emit, idx
+            )
+            staged = [(st_hi, e_hi, 0), (st_lo, e_lo, 1), (st_cnt, e_cnt, 2)]
+            outs = [(st_hi, ohi_ref), (st_lo, olo_ref), (st_cnt, ocnt_ref)]
 
         # carry the chunk's trailing (possibly incomplete) run forward
         # (scalar compares on uint32 lanes: bool lanes can't be extracted)
-        lh = whi[ROWS - 1, L - 1]
         ll = wlo[ROWS - 1, L - 1]
-        last_is_sent = (lh == jnp.uint32(SENT)) & (ll == jnp.uint32(SENT))
-        last_continues = (
-            (lh == whi[ROWS, 0]) & (ll == wlo[ROWS, 0]) & ~last_is_sent
-        )
+        if one_key:
+            last_is_sent = ll == jnp.uint32(SENT)
+            last_continues = (ll == wlo[ROWS, 0]) & ~last_is_sent
+        else:
+            lh = whi[ROWS - 1, L - 1]
+            last_is_sent = (lh == jnp.uint32(SENT)) & (ll == jnp.uint32(SENT))
+            last_continues = (
+                (lh == whi[ROWS, 0]) & (ll == wlo[ROWS, 0]) & ~last_is_sent
+            )
         new_carry_cnt = jnp.where(
             last_continues, run_sum[ROWS - 1, L - 1], jnp.uint32(0)
         )
         state_u[0] = new_carry_cnt
-        state_u[1] = whi[ROWS - 1, L - 1]
+        if not one_key:
+            state_u[1] = whi[ROWS - 1, L - 1]
         state_u[2] = wlo[ROWS - 1, L - 1]
 
         # shift by offset % 128, blend the carried partial output row
@@ -248,7 +286,7 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
         t = off % L
         lane = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 0)
-        for ref, arr, cri in ((st_hi, e_hi, 0), (st_lo, e_lo, 1), (st_cnt, e_cnt, 2)):
+        for ref, arr, cri in staged:
             shifted = _dyn_shift_up(arr, t)
             blend = (row == 0) & (lane < t)
             ref[:] = jnp.where(blend, carry_row[cri, :][None, :], shifted)
@@ -256,9 +294,7 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
         o_row = off // L
         out_copies = [
             pltpu.make_async_copy(st, o.at[pl.ds(o_row, WROWS), :], sems.at[i])
-            for i, (st, o) in enumerate(
-                [(st_hi, ohi_ref), (st_lo, olo_ref), (st_cnt, ocnt_ref)]
-            )
+            for i, (st, o) in enumerate(outs)
         ]
         for cp in out_copies:
             cp.start()
@@ -267,8 +303,8 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
         state_i[0] = new_off
         # next chunk's partial row = staged row holding element new_off
         r_last = (t + n_emit) // L
-        for i, st in enumerate((st_hi, st_lo, st_cnt)):
-            carry_row[i, :] = st[pl.ds(r_last, 1), :][0]
+        for st, _, cri in staged:
+            carry_row[cri, :] = st[pl.ds(r_last, 1), :][0]
         for cp in out_copies:
             cp.wait()
 
@@ -281,12 +317,15 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
         r0 = c * ROWS
         copies = [
             pltpu.make_async_copy(
-                hi_ref.at[pl.ds(r0, WROWS), :], whi_s, dsem.at[0]
-            ),
-            pltpu.make_async_copy(
                 lo_ref.at[pl.ds(r0, WROWS), :], wlo_s, dsem.at[1]
             ),
         ]
+        if hi_ref is not None:
+            copies.append(
+                pltpu.make_async_copy(
+                    hi_ref.at[pl.ds(r0, WROWS), :], whi_s, dsem.at[0]
+                )
+            )
         if cnt_ref is not None:
             copies.append(
                 pltpu.make_async_copy(
@@ -297,10 +336,16 @@ def _rle_kernel(unit, hi_ref, lo_ref, *rest):
             cp.start()
         for cp in copies:
             cp.wait()
-        run(whi_s[:], wlo_s[:], None if cnt_ref is None else wcnt_s[:])
+        run(
+            whi_s[:] if hi_ref is not None else None,
+            wlo_s[:],
+            None if cnt_ref is None else wcnt_s[:],
+        )
 
     pl.run_scoped(
         body,
+        # the hi window is allocated (keeps the scoped shapes static) but
+        # never DMA'd or read in one_key mode
         pltpu.VMEM((WROWS, L), jnp.uint32),
         pltpu.VMEM((WROWS, L), jnp.uint32),
         pltpu.VMEM((WROWS, L), jnp.uint32),
@@ -317,25 +362,31 @@ def _pad_to_chunks(x, fill):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def rle_compact(hi, lo, cnt=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "one_key"))
+def rle_compact(hi, lo, cnt=None, interpret=False, one_key=False):
     """Distinct (key, count) table from a key-sorted sentinel-padded stream.
 
     Args:
       hi, lo: uint32 [n] key halves, sorted ascending as 64-bit (hi, lo)
         pairs with (SENT, SENT) sentinel padding anywhere at the back.
       cnt: optional uint32 weights (None = every entry counts 1).
+      one_key: k <= 16 fast path — keys live entirely in ``lo`` (hi is
+        identically zero for real codes; pass ``hi=None``). The hi plane
+        is neither read nor written by the kernel; output hi is
+        synthesized from lo. Saves ~8 bytes/elem of HBM traffic and a
+        third of the compare/route work.
 
     Returns:
       (o_hi, o_lo, o_cnt, n_unique): distinct keys with summed counts
       compacted to the front, sentinel keys / zero counts past n_unique
       (same contract as ops/count.merge_runs_presorted, ~20x cheaper).
     """
-    n = hi.shape[0]
+    n = lo.shape[0]
     if n == 0:
         z = jnp.zeros(0, jnp.uint32)
         return z, z, z, jnp.int32(0)
-    ins = [_pad_to_chunks(hi, SENT), _pad_to_chunks(lo, SENT)]
+    ins = [] if one_key else [_pad_to_chunks(hi, SENT)]
+    ins.append(_pad_to_chunks(lo, SENT))
     if cnt is not None:
         ins.append(_pad_to_chunks(cnt, 0))
     rows_padded = ins[0].shape[0]
@@ -343,36 +394,43 @@ def rle_compact(hi, lo, cnt=None, interpret=False):
 
     out_rows = rows_padded + WROWS  # slack for the final chunk's full write
     shape = jax.ShapeDtypeStruct((out_rows, L), jnp.uint32)
+    n_out_planes = 2 if one_key else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins),
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            (pl.BlockSpec(memory_space=pl.ANY),) * n_out_planes
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((WROWS, L), jnp.uint32),  # staged out hi
-            pltpu.VMEM((WROWS, L), jnp.uint32),  # staged out lo
-            pltpu.VMEM((WROWS, L), jnp.uint32),  # staged out cnt
-            pltpu.VMEM((8, L), jnp.uint32),  # carried partial rows (3 used)
-            pltpu.SMEM((8,), jnp.uint32),  # carry cnt / hi / lo
-            pltpu.SMEM((8,), jnp.int32),  # output offset
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((WROWS, L), jnp.uint32)] * n_out_planes  # staged outs
+            + [
+                pltpu.VMEM((8, L), jnp.uint32),  # carried partial rows
+                pltpu.SMEM((8,), jnp.uint32),  # carry cnt / hi / lo
+                pltpu.SMEM((8,), jnp.int32),  # output offset
+                pltpu.SemaphoreType.DMA((3,)),
+            ]
+        ),
     )
-    o_hi, o_lo, o_cnt, n_u = pl.pallas_call(
-        functools.partial(_rle_kernel, cnt is None),
-        out_shape=(shape, shape, shape, jax.ShapeDtypeStruct((1,), jnp.int32)),
+    outs = pl.pallas_call(
+        functools.partial(_rle_kernel, cnt is None, one_key),
+        out_shape=(shape,) * n_out_planes
+        + (jax.ShapeDtypeStruct((1,), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*ins)
-    n_u = n_u[0]
+    n_u = outs[-1][0]
     idx = jnp.arange(n, dtype=jnp.int32)
     keep = idx < n_u
+    if one_key:
+        o_lo, o_cnt = outs[0], outs[1]
+        o_lo = jnp.where(keep, o_lo.reshape(-1)[:n], jnp.uint32(SENT))
+        o_cnt = jnp.where(keep, o_cnt.reshape(-1)[:n], jnp.uint32(0))
+        o_hi = jnp.where(keep, jnp.uint32(0), jnp.uint32(SENT))
+        return o_hi, o_lo, o_cnt, n_u
+    o_hi, o_lo, o_cnt = outs[0], outs[1], outs[2]
     o_hi = jnp.where(keep, o_hi.reshape(-1)[:n], jnp.uint32(SENT))
     o_lo = jnp.where(keep, o_lo.reshape(-1)[:n], jnp.uint32(SENT))
     o_cnt = jnp.where(keep, o_cnt.reshape(-1)[:n], jnp.uint32(0))

@@ -487,13 +487,12 @@ def _epoch_sort_rle(hi, lo, one_key, interpret):
         # k <= 16: hi is identically zero, lo alone orders the keys and
         # lo == SENT safely marks invalid windows — even at k == 16, where
         # codes span all 32 bits, the all-ones code (the all-T k-mer) is
-        # never canonical because its reverse complement is all-A == 0
+        # never canonical because its reverse complement is all-A == 0.
+        # The RLE kernel's one_key mode never materializes an hi plane at
+        # all (no synthesized s_hi, no hi DMA in or out).
         (s_lo,) = jax.lax.sort((lo,), num_keys=1, is_stable=False)
-        s_hi = jnp.where(
-            s_lo == jnp.uint32(0xFFFFFFFF), s_lo, jnp.zeros_like(s_lo)
-        )
-    else:
-        s_hi, s_lo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+        return rle_compact(None, s_lo, interpret=interpret, one_key=True)
+    s_hi, s_lo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     return rle_compact(s_hi, s_lo, interpret=interpret)
 
 

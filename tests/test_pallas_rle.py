@@ -139,3 +139,69 @@ def test_matches_merge_runs_presorted():
     assert np.array_equal(np.asarray(m_hi[:nu]), np.asarray(k_hi[:nu]))
     assert np.array_equal(np.asarray(m_lo[:nu]), np.asarray(k_lo[:nu]))
     assert np.array_equal(np.asarray(m_cnt[:nu]), np.asarray(k_cnt[:nu]))
+
+
+def _run_1key(lo32, cnt=None, pad=0):
+    lo = np.asarray(lo32, np.uint32)
+    if pad:
+        lo = np.concatenate([lo, np.full(pad, SENT, np.uint32)])
+        if cnt is not None:
+            cnt = np.concatenate([cnt, np.zeros(pad, np.uint32)])
+    args = [None, jnp.asarray(lo)]
+    if cnt is not None:
+        args.append(jnp.asarray(cnt))
+    return pallas_rle.rle_compact(*args, interpret=True, one_key=True)
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("n", [1, 7, 1023, 1025, 5000])
+def test_one_key_matches_two_plane(seed, n):
+    """one_key (k<=16 fast path, no hi plane) must equal the 2-plane kernel
+    and numpy on lo-only keys, incl. sentinel tails and chunk carries."""
+    rng = np.random.default_rng(seed + 50)
+    lo = np.sort(rng.integers(0, max(n // 2, 2), n).astype(np.uint32))
+    pad = int(rng.integers(0, 300))
+    o_hi1, o_lo1, o_cnt1, nu1 = _run_1key(lo, pad=pad)
+
+    hi2 = np.zeros(lo.shape[0] + pad, np.uint32)
+    lo2 = np.concatenate([lo, np.full(pad, SENT, np.uint32)])
+    hi2[lo.shape[0]:] = SENT
+    o_hi2, o_lo2, o_cnt2, nu2 = pallas_rle.rle_compact(
+        jnp.asarray(hi2), jnp.asarray(lo2), interpret=True
+    )
+    assert int(nu1) == int(nu2)
+    assert np.array_equal(np.asarray(o_lo1), np.asarray(o_lo2))
+    assert np.array_equal(np.asarray(o_cnt1), np.asarray(o_cnt2))
+    assert np.array_equal(np.asarray(o_hi1), np.asarray(o_hi2))
+    uq, cn = np.unique(lo, return_counts=True)
+    nu = int(nu1)
+    assert np.array_equal(np.asarray(o_lo1[:nu]), uq)
+    assert np.array_equal(np.asarray(o_cnt1[:nu]), cn.astype(np.uint32))
+
+
+def test_one_key_weighted():
+    rng = np.random.default_rng(99)
+    lo = np.sort(rng.integers(0, 40, 3000).astype(np.uint32))
+    w = rng.integers(1, 9, 3000).astype(np.uint32)
+    o_hi, o_lo, o_cnt, nu = _run_1key(lo, cnt=w, pad=111)
+    nu = int(nu)
+    uq = np.unique(lo)
+    exp = np.array([w[lo == u].sum() for u in uq], np.uint32)
+    assert nu == uq.shape[0]
+    assert np.array_equal(np.asarray(o_lo[:nu]), uq)
+    assert np.array_equal(np.asarray(o_cnt[:nu]), exp)
+    assert (np.asarray(o_hi[:nu]) == 0).all()
+    assert (np.asarray(o_hi[nu:]) == SENT).all()
+
+
+def test_one_key_near_sentinel_codes():
+    """Real codes adjacent to the sentinel (0xFFFFFFFE etc.) stay distinct
+    from the padding — the k=16 collision-freedom contract at kernel level."""
+    lo = np.sort(
+        np.array([0, 1, 0xFFFFFFFE, 0xFFFFFFFE, 0xFFFFFFFD], np.uint32)
+    )
+    o_hi, o_lo, o_cnt, nu = _run_1key(lo, pad=200)
+    nu = int(nu)
+    assert nu == 4
+    assert np.asarray(o_lo[:nu]).tolist() == [0, 1, 0xFFFFFFFD, 0xFFFFFFFE]
+    assert np.asarray(o_cnt[:nu]).tolist() == [1, 1, 1, 2]

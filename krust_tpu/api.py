@@ -8,7 +8,6 @@ canonical code.
 
 from __future__ import annotations
 
-import mmap as _mmap
 import os
 import sys
 from typing import BinaryIO, Callable, Iterable, TextIO

@@ -1,16 +1,17 @@
 """Pallas TPU kernel for the rolling canonical k-mer codec.
 
-Fuses the whole per-window pipeline — base validation, forward/RC rolling
-2-bit encode, canonical min, validity AND — into one VMEM-resident kernel, so
-block rows make exactly one HBM->VMEM trip and the 2k unrolled shift/or steps
-run on the VPU without materializing intermediates in HBM.
+Fuses the whole per-window pipeline — base validation, forward/RC 2-bit
+encode, canonical min, validity AND — into one VMEM-resident kernel, so block
+rows make exactly one HBM->VMEM trip. The encode uses pack-doubling
+(O(log k + popcount k) combines instead of k rolling steps — ~3x fewer VPU
+ops at k=21, ~4x at k=32; see _codec_body) with no HBM intermediates.
 
 Semantics identical to :func:`krust_tpu.ops.codec.encode_blocks` (the jnp
 implementation is the oracle; tests/test_pallas.py asserts bit-equality).
 
 Layout: rows tile by ``TILE_ROWS``; the last dim is padded to a multiple of
-128 lanes with invalid codes (padding windows self-invalidate). All slices in
-the unrolled loop use static offsets, which Mosaic lowers to lane shifts.
+128 lanes with invalid codes (padding windows self-invalidate). All slices
+use static offsets, which Mosaic lowers to lane shifts.
 """
 
 from __future__ import annotations
@@ -32,8 +33,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _shl64(lo, s: int):
+    """(0, lo) << s as a (hi, lo) uint32 pair; 0 <= s < 64, static."""
+    if s == 0:
+        return jnp.zeros_like(lo), lo
+    if s < 32:
+        return lo >> (32 - s), lo << s
+    if s == 32:
+        return lo, jnp.zeros_like(lo)
+    return lo << (s - 32), jnp.zeros_like(lo)
+
+
 def _codec_body(c, k: int, w: int):
     """Kernel math: int32 codes [TB, WKP] -> (hi, lo, valid) [TB, w].
+
+    Doubling formulation (round 4): instead of k rolling steps, partial
+    packs over segment lengths 1, 2, 4, ... 2^floor(log2 k) are built by
+    combining pairs —
+
+        pack_{2m}(j) = pack_m(j) * 4^m + pack_m(j + m)
+        rc_{2m}(j)   = rc_m(j + m) * 4^m + rc_m(j)
+        valid_{2m}(j) = valid_m(j) & valid_m(j + m)
+
+    — then k's set bits combine most-significant-first. O(log k +
+    popcount k) vector steps instead of O(k): ~3x fewer VPU ops at k=21,
+    ~4x at k=32. Arrays shrink with each combine (all slices static), so
+    no fills or concats are needed. Segments of <= 16 bases fit one
+    uint32 plane; only the final combines touch the (hi, lo) pair.
 
     No quality branch: the engine folds quality filtering into invalid-base
     masks on the host (quality bytes never cross the link), so the kernel
@@ -43,31 +69,80 @@ def _codec_body(c, k: int, w: int):
     b_full = jnp.where(good_full, c, 0).astype(jnp.uint32)
     comp_full = jnp.where(good_full, 3 - c, 0).astype(jnp.uint32)
 
-    wide = k > 16
-    shape = (c.shape[0], w)
-    fwd_lo = jnp.zeros(shape, jnp.uint32)
-    rc_lo = jnp.zeros(shape, jnp.uint32)
-    fwd_hi = jnp.zeros(shape, jnp.uint32) if wide else None
-    rc_hi = jnp.zeros(shape, jnp.uint32) if wide else None
-    valid = jnp.ones(shape, jnp.bool_)
+    # power-of-two partials up to 16 bases, each width WKP - (m - 1);
+    # lo-plane only (m <= 16 => 2m bits <= 32, shifts stay < 32)
+    partials = {1: (b_full, comp_full, good_full)}
+    m = 1
+    while 2 * m <= min(k, 16):
+        p, r, v = partials[m]
+        width = p.shape[1] - m
+        partials[2 * m] = (
+            (p[:, :width] << (2 * m)) | p[:, m:],
+            (r[:, m:] << (2 * m)) | r[:, :width],
+            jnp.logical_and(v[:, :width], v[:, m:]),
+        )
+        m *= 2
 
-    for j in range(k):
-        bj = b_full[:, j : j + w]
-        cj = comp_full[:, k - 1 - j : k - 1 - j + w]
-        gj = good_full[:, j : j + w]
-        if wide:
-            fwd_hi = (fwd_hi << 2) | (fwd_lo >> 30)
-            rc_hi = (rc_hi << 2) | (rc_lo >> 30)
-        fwd_lo = (fwd_lo << 2) | bj
-        rc_lo = (rc_lo << 2) | cj
-        valid = jnp.logical_and(valid, gj)
+    # combine k as a sum of <= 16-base segments, most significant first
+    # (k == 32 decomposes as 16 + 16). Accumulated length L; fwd shifts the
+    # accumulator pair by 2b (<= 32), rc shifts the incoming b-segment by
+    # 2L (up to 62: the generic pair shift).
+    if k == 32:
+        bits = [16, 16]
+    else:
+        bits = [
+            1 << i for i in range(k.bit_length() - 1, -1, -1) if k & (1 << i)
+        ]
+    top = bits[0]
+    fwd_lo, rc_lo, valid = partials[top]
+    fwd_hi = rc_hi = None  # top <= 16: everything fits the lo plane
+    L = top
+    for b in bits[1:]:
+        pb, rb, vb = partials[b]
+        width = valid.shape[1] - b  # positions where both segments exist
+        pb_s = pb[:, L : L + width]
+        rb_s = rb[:, L : L + width]
+        vb_s = vb[:, L : L + width]
+        wide_next = 2 * (L + b) > 32
+        # fwd: (acc << 2b) | pb(+L); 2b <= 32, == 32 only for 16+16
+        s = 2 * b
+        if fwd_hi is not None:
+            fwd_hi = (fwd_hi[:, :width] << s) | (fwd_lo[:, :width] >> (32 - s))
+            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
+        elif not wide_next:
+            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
+        elif s == 32:
+            fwd_hi = fwd_lo[:, :width]
+            fwd_lo = pb_s
+        else:
+            fwd_hi = fwd_lo[:, :width] >> (32 - s)
+            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
+        # rc: (rb(+L) << 2L) | acc
+        sh_hi, sh_lo = _shl64(rb_s, 2 * L)
+        if rc_hi is not None:
+            rc_hi = rc_hi[:, :width] | sh_hi
+            rc_lo = rc_lo[:, :width] | sh_lo
+        elif wide_next:
+            rc_hi = sh_hi
+            rc_lo = rc_lo[:, :width] | sh_lo
+        else:
+            # 2(L+b) <= 32 implies sh_hi == 0 identically
+            rc_lo = rc_lo[:, :width] | sh_lo
+        valid = jnp.logical_and(valid[:, :width], vb_s)
+        L += b
 
-    if wide:
+    assert L == k and valid.shape[1] >= w, (L, valid.shape, w)
+    fwd_lo = fwd_lo[:, :w]
+    rc_lo = rc_lo[:, :w]
+    valid = valid[:, :w]
+    if fwd_hi is not None:
+        fwd_hi = fwd_hi[:, :w]
+        rc_hi = rc_hi[:, :w]
         use_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
         hi = jnp.where(use_rc, rc_hi, fwd_hi)
     else:
         use_rc = rc_lo < fwd_lo
-        hi = jnp.zeros(shape, jnp.uint32)
+        hi = jnp.zeros(fwd_lo.shape, jnp.uint32)
     lo = jnp.where(use_rc, rc_lo, fwd_lo)
     return hi, lo, valid.astype(jnp.uint8)
 

@@ -55,3 +55,19 @@ def test_pallas_row_padding():
     rng = np.random.default_rng(13)
     codes = rng.integers(0, 5, size=(3, 128 + k - 1), dtype=np.uint8)
     _compare(codes, k)
+
+
+def test_pallas_doubling_all_k():
+    """The doubling codec (round 4: O(log k) combines, see _codec_body)
+    must stay bit-equal to the k-step jnp oracle for every k, including
+    the segment-boundary cases (16, 17, 24, 31, 32 = 16+16)."""
+    rng = np.random.default_rng(7)
+    for k in range(1, 33):
+        codes = rng.integers(0, 5, size=(2, 150 + k - 1), dtype=np.uint8)
+        h1, l1, v1 = encode_blocks(codes, k)
+        h2, l2, v2 = encode_blocks_pallas(codes, k, interpret=True)
+        assert np.array_equal(np.asarray(h1), np.asarray(h2)), k
+        assert np.array_equal(np.asarray(l1), np.asarray(l2)), k
+        assert np.array_equal(
+            np.asarray(v1), np.asarray(v2).astype(bool)
+        ), k

@@ -324,6 +324,143 @@ def _diagonal_splits_kv(ah, al, bh, bl, ma, mb, n_chunks):
     return lo
 
 
+def _diagonal_splits_lv(al, bl, ma, mb, n_chunks):
+    """Single-plane (lo-only key) variant of :func:`_diagonal_splits_kv`
+    for k <= 16 merges, where hi is identically zero for real keys and the
+    sentinel is the all-ones lo. Same a-wins-ties convention."""
+    d = jnp.arange(n_chunks + 1, dtype=jnp.int32) * OUT
+    d = jnp.minimum(d, ma + mb)
+    lo = jnp.maximum(0, d - mb)
+    hi = jnp.minimum(d, ma)
+
+    def key_at(l, i, m):
+        v = jnp.clip(i, 0, m - 1)
+        return jnp.where(i >= m, jnp.uint32(SENT), jnp.where(i < 0, 0, l[v]))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        bi = d - mid - 1
+        bjl = key_at(bl, bi, mb)
+        aml = key_at(al, mid, ma)
+        gt = aml > bjl
+        gt = jnp.where(bi < 0, True, gt)  # real 0 key beats the -inf stand-in
+        done = lo >= hi
+        new_lo = jnp.where(gt, lo, mid + 1)
+        new_hi = jnp.where(gt, mid, hi)
+        return jnp.where(done, lo, new_lo), jnp.where(done, hi, new_hi)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return lo
+
+
+def _merge_lv_kernel(
+    meta_ref, al_ref, ac_ref, bl_ref, bc_ref,
+    ol_ref, oc_ref, sl, sc, tl, tc, sems,
+):
+    """One-key (k <= 16) twin of :func:`_merge_kv_kernel`: no hi plane —
+    2 DMA planes per side instead of 3 and a 3-operand merge network
+    (lo, pos, cnt) instead of 4."""
+    pa = meta_ref[0, 0, 0]
+    pb = meta_ref[0, 0, 1]
+    ea = meta_ref[0, 0, 2]
+    eb = meta_ref[0, 0, 3]
+    r0 = meta_ref[0, 0, 4]
+    copies = [
+        pltpu.make_async_copy(r.at[pl.ds(p, WROWS), :], s, sems.at[i])
+        for i, (r, s, p) in enumerate(
+            [
+                (al_ref, sl, pa), (ac_ref, sc, pa),
+                (bl_ref, tl, pb), (bc_ref, tc, pb),
+            ]
+        )
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (WROWS, L), 1)
+    idx = row_id * L + lane_id
+    bias = jnp.uint32(0x80000000)
+
+    def mask_half(l_s, c_s, end):
+        good = idx < end
+        l = pltpu.bitcast(
+            jnp.where(good, l_s[:], jnp.uint32(SENT)) ^ bias, jnp.int32
+        )
+        c = jnp.where(good, c_s[:], jnp.uint32(0))
+        return l, c
+
+    a_l, a_c = mask_half(sl, sc, ea)
+    b_l, b_c = mask_half(tl, tc, eb)
+    xl = jnp.concatenate([a_l, b_l], axis=0)
+    xc = pltpu.bitcast(jnp.concatenate([a_c, b_c], axis=0), jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    xp = rr * L + ll  # position tiebreak (see _merge_kv_kernel)
+    ml, mp, mc = _oddeven_merge_multi((xl, xp, xc), n_keys=2)
+    del mp
+    sel = r0 == 0
+
+    def pick(v):
+        return jnp.where(sel, v[:OROWS], v[1 : OROWS + 1])
+
+    ol_ref[:] = pltpu.bitcast(pick(ml), jnp.uint32) ^ bias
+    oc_ref[:] = pltpu.bitcast(pick(mc), jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sorted_lv(al, ac, bl, bc, interpret=False):
+    """Merge two key-sorted (lo, cnt) pairs — the k <= 16 fast path.
+
+    Same contract as :func:`merge_sorted_kv` with the hi plane dropped:
+    keys are single uint32 values (hi is identically zero for real k <= 16
+    codes; SENT = 0xFFFFFFFF acts as +inf padding and never collides with
+    a canonical code — the all-T k-mer's RC is all-A). Unequal input
+    lengths allowed.
+    """
+    if al.shape != ac.shape or bl.shape != bc.shape:
+        raise ValueError("per-side operands must have equal shapes")
+    ma = al.shape[0]
+    mb = bl.shape[0]
+    total = ma + mb
+    if total == 0:
+        z = jnp.zeros(0, jnp.uint32)
+        return z, z
+    if ma == 0 or mb == 0:
+        return (bl, bc) if ma == 0 else (al, ac)
+    n_chunks = -(-total // OUT)
+    splits = _diagonal_splits_lv(al, bl, ma, mb, n_chunks).astype(jnp.int32)
+    meta = _chunk_meta(splits, total)
+    ins = (
+        _pad_a(al, SENT), _pad_a(ac, 0),
+        _pad_b(bl, SENT, 0), _pad_b(bc, 0, 0),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 5), lambda c: (c, 0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(
+            pl.BlockSpec((OROWS, L), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        )
+        * 2,
+        scratch_shapes=[pltpu.VMEM((WROWS, L), jnp.uint32)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
+    )
+    shape = jax.ShapeDtypeStruct((n_chunks * OROWS, L), jnp.uint32)
+    ol, oc = pl.pallas_call(
+        _merge_lv_kernel,
+        out_shape=(shape, shape),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, *ins)
+    return ol.reshape(-1)[:total], oc.reshape(-1)[:total]
+
+
 def _merge_kv_kernel(
     meta_ref, ah_ref, al_ref, ac_ref, bh_ref, bl_ref, bc_ref,
     oh_ref, ol_ref, oc_ref, sh, sl, sc, th, tl, tc, sems,

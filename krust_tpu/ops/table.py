@@ -496,12 +496,17 @@ def _epoch_sort_rle(hi, lo, one_key, interpret):
     return rle_compact(s_hi, s_lo, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _merge_compact(a, b, interpret):
-    """Merge two compacted parts and re-compact (weighted)."""
-    from .pallas_merge import merge_sorted_kv
+@functools.partial(jax.jit, static_argnames=("interpret", "one_key"))
+def _merge_compact(a, b, interpret, one_key=False):
+    """Merge two compacted parts and re-compact (weighted). ``one_key``
+    (k <= 16): the hi planes are never touched — single-plane merge
+    network + one-key RLE (see pallas_merge.merge_sorted_lv)."""
+    from .pallas_merge import merge_sorted_kv, merge_sorted_lv
     from .pallas_rle import rle_compact
 
+    if one_key:
+        m_lo, m_cnt = merge_sorted_lv(a[1], a[2], b[1], b[2], interpret=interpret)
+        return rle_compact(None, m_lo, m_cnt, interpret=interpret, one_key=True)
     m_hi, m_lo, m_cnt = merge_sorted_kv(*a, *b, interpret=interpret)
     return rle_compact(m_hi, m_lo, m_cnt, interpret=interpret)
 
@@ -576,7 +581,8 @@ class EpochTable(DeviceTable):
             nxt = []
             for i in range(0, len(runs) - 1, 2):
                 o_hi, o_lo, o_cnt, n_dev = _merge_compact(
-                    runs[i][:3], runs[i + 1][:3], self._interpret
+                    runs[i][:3], runs[i + 1][:3], self._interpret,
+                    one_key=self._k <= 16,
                 )
                 n = int(n_dev)
                 keep = min(_round_pow2(max(n, 1)), o_hi.shape[0])

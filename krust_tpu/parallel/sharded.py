@@ -265,8 +265,8 @@ def _epoch_sort_rle_sharded(hi, lo, one_key, interpret, mesh):
     )(hi, lo)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "mesh"))
-def _merge_compact_sharded(a, b, interpret, mesh):
+@functools.partial(jax.jit, static_argnames=("interpret", "mesh", "one_key"))
+def _merge_compact_sharded(a, b, interpret, mesh, one_key=False):
     """Per-chip merge of two compacted parts + re-compaction (no collectives)."""
     from ..ops.table import _merge_compact
 
@@ -275,6 +275,7 @@ def _merge_compact_sharded(a, b, interpret, mesh):
             (ah.reshape(-1), al.reshape(-1), ac.reshape(-1)),
             (bh.reshape(-1), bl.reshape(-1), bc.reshape(-1)),
             interpret,
+            one_key=one_key,
         )
         return o_hi[None], o_lo[None], o_cnt[None], jax.lax.pmax(n, DATA_AXIS)
 
@@ -430,7 +431,8 @@ class EpochShardedTable(ShardedTable):
             nxt = []
             for i in range(0, len(runs) - 1, 2):
                 o_hi, o_lo, o_cnt, n_dev_max = _merge_compact_sharded(
-                    runs[i], runs[i + 1], self._interpret, self._mesh
+                    runs[i], runs[i + 1], self._interpret, self._mesh,
+                    one_key=self._k <= 16,
                 )
                 n = int(np.asarray(n_dev_max))
                 keep = min(round_pow2(max(n, 1)), o_hi.shape[1])

@@ -181,3 +181,80 @@ def test_kv_unequal_lengths():
         )
         got = collections.Counter(zip(ok64.tolist(), np.asarray(oc).tolist()))
         assert got == exp, (ma, mb)
+
+
+class TestMergeSortedLV:
+    """One-key (k<=16) merge: no hi plane (round 4). Differential vs the
+    kv kernel with zero hi planes and vs numpy."""
+
+    def _both(self, al, ac, bl, bc):
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.pallas_merge import merge_sorted_kv, merge_sorted_lv
+
+        ol, oc = merge_sorted_lv(
+            jnp.asarray(al), jnp.asarray(ac), jnp.asarray(bl), jnp.asarray(bc),
+            interpret=True,
+        )
+        zh_a = jnp.zeros(al.shape[0], jnp.uint32)
+        zh_b = jnp.zeros(bl.shape[0], jnp.uint32)
+        kh, kl, kc = merge_sorted_kv(
+            zh_a, jnp.asarray(al), jnp.asarray(ac),
+            zh_b, jnp.asarray(bl), jnp.asarray(bc),
+            interpret=True,
+        )
+        return (np.asarray(ol), np.asarray(oc)), (np.asarray(kl), np.asarray(kc))
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_matches_kv_and_numpy(self, seed):
+        rng = np.random.default_rng(seed + 7)
+        ma, mb = int(rng.integers(1, 4000)), int(rng.integers(1, 4000))
+        al = np.sort(rng.integers(0, 500, ma).astype(np.uint32))
+        bl = np.sort(rng.integers(0, 500, mb).astype(np.uint32))
+        ac = rng.integers(1, 100, ma).astype(np.uint32)
+        bc = rng.integers(1, 100, mb).astype(np.uint32)
+        (ol, oc), (kl, kc) = self._both(al, ac, bl, bc)
+        assert np.array_equal(ol, kl)
+        # per-key count totals match numpy (intra-key order may differ
+        # between kernels; totals are the contract)
+        keys = np.concatenate([al, bl])
+        cnts = np.concatenate([ac, bc])
+        uq = np.unique(keys)
+        exp = {int(u): int(cnts[keys == u].sum()) for u in uq}
+        got = {}
+        for k_, c_ in zip(ol.tolist(), oc.tolist()):
+            got[k_] = got.get(k_, 0) + c_
+        assert got == exp
+        got_kv = {}
+        for k_, c_ in zip(kl.tolist(), kc.tolist()):
+            got_kv[k_] = got_kv.get(k_, 0) + c_
+        assert got_kv == exp
+
+    def test_sentinel_tail_and_near_sentinel(self):
+        al = np.array([1, 5, 0xFFFFFFFE, SENT, SENT], np.uint32)
+        ac = np.array([2, 3, 4, 0, 0], np.uint32)
+        bl = np.array([5, 0xFFFFFFFD], np.uint32)
+        bc = np.array([7, 9], np.uint32)
+        (ol, oc), (kl, kc) = self._both(al, ac, bl, bc)
+        assert np.array_equal(ol, kl)
+        real = ol[oc > 0]
+        assert real.tolist() == [1, 5, 5, 0xFFFFFFFD, 0xFFFFFFFE]
+
+    def test_empty_sides(self):
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.pallas_merge import merge_sorted_lv
+
+        a = np.array([3, 4], np.uint32)
+        c = np.array([1, 1], np.uint32)
+        z = np.zeros(0, np.uint32)
+        ol, oc = merge_sorted_lv(
+            jnp.asarray(a), jnp.asarray(c), jnp.asarray(z), jnp.asarray(z),
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(ol), a)
+        ol, oc = merge_sorted_lv(
+            jnp.asarray(z), jnp.asarray(z), jnp.asarray(a), jnp.asarray(c),
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(ol), a)

@@ -32,6 +32,7 @@ if _os.environ.get("KRUST_PLATFORM"):
 
 from .api import (
     count_kmers,
+    count_kmers_files,
     count_kmers_with_format,
     count_kmers_with_quality,
     count_kmers_with_progress,
@@ -100,6 +101,7 @@ __all__ = [
     "count_kmers_with_format",
     "count_kmers_with_quality",
     "count_kmers_with_progress",
+    "count_kmers_files",
     "count_kmers_mmap",
     "count_kmers_streaming",
     "count_kmers_streaming_packed",

@@ -163,6 +163,38 @@ def count_kmers_mmap(
     return count_streams(streams, KmerLength(k).get(), config=config).to_string_dict()
 
 
+def count_kmers_files(
+    paths: Iterable[str | os.PathLike],
+    k: int,
+    fmt: SequenceFormat = SequenceFormat.AUTO,
+    min_quality: int | None = None,
+    config: EngineConfig | None = None,
+) -> dict[str, int]:
+    """Count canonical k-mers across SEVERAL files into one table.
+
+    New capability beyond the reference's one-input-per-run CLI (jellyfish
+    accepts multiple inputs; `count_kmers_async`'s gather counts files
+    separately): every file streams through the same engine table in
+    record-aligned bounded-memory chunks, so the result is exactly the
+    per-file counts summed. Format resolves per file (mixed FASTA/FASTQ/
+    gzip inputs are fine); ``min_quality`` applies to FASTQ files only.
+    """
+    from .io.reader import stream_input_chunks
+    from .models.engines import count_chunked_streams
+
+    kk = KmerLength(k).get()
+    cfg = _streaming_config(config)
+
+    def chained():
+        for p in paths:
+            with span("read_sequences", path=str(p), chunked=True):
+                yield from stream_input_chunks(p, fmt, cfg.ingest_chunk_bytes)
+
+    return count_chunked_streams(
+        chained(), kk, min_quality, cfg
+    ).to_string_dict()
+
+
 def count_kmers_sniffed(path: str | os.PathLike, k: int) -> dict[str, int]:
     """Count with content-based format detection — the runtime equivalent of
     the reference's needletail reader backend (reference: src/reader.rs

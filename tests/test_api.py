@@ -269,3 +269,44 @@ class TestAllKSweep:
         for k in range(1, 33):
             got = kt.count_kmers_from_sequences(seqs, k)
             assert got == oracle.count_sequences(seqs, k), f"k={k}"
+
+
+class TestMultiFile:
+    """count_kmers_files: several inputs into one exact table (new
+    capability; jellyfish-style multi-input)."""
+
+    def test_two_files_sum(self, tmp_path):
+        a = tmp_path / "a.fa"
+        b = tmp_path / "b.fq"
+        a.write_text(">r\nACGTACGT\n")
+        b.write_text("@r\nGATTACA\n+\nIIIIIII\n")
+        got = kt.count_kmers_files([a, b], 3)
+        ca = kt.count_kmers(a, 3)
+        cb = kt.count_kmers(b, 3)
+        exp = dict(ca)
+        for km, c in cb.items():
+            exp[km] = exp.get(km, 0) + c
+        assert got == exp
+
+    def test_same_file_twice_doubles(self, simple_fa):
+        once = kt.count_kmers(simple_fa, 5)
+        twice = kt.count_kmers_files([simple_fa, simple_fa], 5)
+        assert twice == {km: 2 * c for km, c in once.items()}
+
+    def test_gzip_mixed_and_quality(self, fixtures_dir):
+        got = kt.count_kmers_files(
+            [fixtures_dir / "simple.fa.gz", fixtures_dir / "low_quality.fq"],
+            4,
+            min_quality=20,
+        )
+        a = kt.count_kmers(fixtures_dir / "simple.fa.gz", 4)
+        b = kt.count_kmers_with_quality(
+            fixtures_dir / "low_quality.fq", 4, min_quality=20
+        )
+        exp = dict(a)
+        for km, c in b.items():
+            exp[km] = exp.get(km, 0) + c
+        assert got == exp
+
+    def test_empty_list(self):
+        assert kt.count_kmers_files([], 5) == {}

@@ -33,6 +33,8 @@ if _os.environ.get("KRUST_PLATFORM"):
 from .api import (
     count_kmers,
     count_kmers_files,
+    count_kmers_from_input,
+    count_kmers_from_input_packed,
     count_kmers_with_format,
     count_kmers_with_quality,
     count_kmers_with_progress,
@@ -44,6 +46,7 @@ from .api import (
     count_kmers_from_reader,
     count_kmers_from_reader_packed,
     count_kmers_stdin,
+    count_kmers_stdin_packed,
     count_kmers_stdin_with_format,
     count_kmers_from_sequences,
     count_kmers_from_sequences_packed,
@@ -102,6 +105,8 @@ __all__ = [
     "count_kmers_with_quality",
     "count_kmers_with_progress",
     "count_kmers_files",
+    "count_kmers_from_input",
+    "count_kmers_from_input_packed",
     "count_kmers_mmap",
     "count_kmers_streaming",
     "count_kmers_streaming_packed",
@@ -110,6 +115,7 @@ __all__ = [
     "count_kmers_from_reader",
     "count_kmers_from_reader_packed",
     "count_kmers_stdin",
+    "count_kmers_stdin_packed",
     "count_kmers_stdin_with_format",
     "count_kmers_sniffed",
     "count_kmers_sharded",

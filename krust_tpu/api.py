@@ -349,6 +349,29 @@ def count_kmers_stdin_with_format(k: int, fmt: SequenceFormat) -> dict[str, int]
     return count_kmers_from_reader(sys.stdin.buffer, k, resolved)
 
 
+def count_kmers_stdin_packed(k: int) -> dict[int, int]:
+    """Packed-key stdin count (reference: src/streaming.rs:349-353)."""
+    return count_kmers_from_reader_packed(
+        sys.stdin.buffer, k, SequenceFormat.AUTO.resolve(None)
+    )
+
+
+def count_kmers_from_input(input_: Input, k: int) -> dict[str, int]:
+    """Count from an :class:`Input` source — file or stdin
+    (reference: src/streaming.rs:477-485)."""
+    if input_.is_stdin:
+        return count_kmers_stdin(k)
+    return count_kmers_streaming(input_.path, k)
+
+
+def count_kmers_from_input_packed(input_: Input, k: int) -> dict[int, int]:
+    """Packed-key :func:`count_kmers_from_input`
+    (reference: src/streaming.rs:501-509)."""
+    if input_.is_stdin:
+        return count_kmers_stdin_packed(k)
+    return count_kmers_streaming_packed(input_.path, k)
+
+
 def count_kmers_from_sequences(
     sequences: Iterable[bytes | str], k: int
 ) -> dict[str, int]:

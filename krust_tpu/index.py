@@ -110,8 +110,17 @@ class KmerIndex:
     def __len__(self) -> int:
         return int(self._codes.shape[0])
 
+    def len(self) -> int:
+        """Entry count (reference: src/index.rs:94-96); same as len(self)."""
+        return len(self)
+
     def is_empty(self) -> bool:
         return self._codes.shape[0] == 0
+
+    def into_counts(self) -> dict[int, int]:
+        """The packed counts dict (reference: src/index.rs:112-114 —
+        consuming there; a plain accessor here)."""
+        return self.counts
 
     def get(self, packed_bits: int) -> int | None:
         """Look up a canonical packed k-mer; None when absent."""

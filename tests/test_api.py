@@ -310,3 +310,41 @@ class TestMultiFile:
 
     def test_empty_list(self):
         assert kt.count_kmers_files([], 5) == {}
+
+
+class TestInputDispatch:
+    """count_kmers_from_input[_packed] (reference: src/streaming.rs:477-509)
+    and count_kmers_stdin_packed (src/streaming.rs:349-353)."""
+
+    def test_from_input_file(self, simple_fa):
+        from krust_tpu.io.input import Input
+
+        got = kt.count_kmers_from_input(Input.from_path(simple_fa), 3)
+        assert got == kt.count_kmers(simple_fa, 3)
+        packed = kt.count_kmers_from_input_packed(Input.from_path(simple_fa), 3)
+        assert len(packed) == len(got)
+        assert sum(packed.values()) == sum(got.values())
+
+    def test_from_input_stdin(self, monkeypatch):
+        import io as _io
+
+        from krust_tpu.io.input import Input
+
+        class _Stdin:
+            buffer = _io.BytesIO(b">s\nACGT\n")
+
+        monkeypatch.setattr("sys.stdin", _Stdin())
+        got = kt.count_kmers_from_input(Input.from_path(None), 3)
+        assert got == {"ACG": 2}
+        _Stdin.buffer = _io.BytesIO(b">s\nACGT\n")
+        monkeypatch.setattr("sys.stdin", _Stdin())
+        packed = kt.count_kmers_from_input_packed(Input.from_path("-"), 3)
+        assert list(packed.values()) == [2]
+
+
+class TestIndexSurface:
+    def test_len_and_into_counts(self):
+        idx = kt.KmerIndex(3, {5: 2, 9: 7})
+        assert idx.len() == len(idx) == 2
+        assert idx.into_counts() == {5: 2, 9: 7}
+        assert not idx.is_empty()

@@ -185,10 +185,14 @@ def count_kmers_files(
     kk = KmerLength(k).get()
     cfg = _streaming_config(config)
 
+    # an explicit ingest_chunk_bytes=0 ("eager") still streams per file
+    # here — multi-file counting is chunk-fed by construction
+    chunk_bytes = cfg.ingest_chunk_bytes or DEFAULT_STREAMING_CHUNK_BYTES
+
     def chained():
         for p in paths:
             with span("read_sequences", path=str(p), chunked=True):
-                yield from stream_input_chunks(p, fmt, cfg.ingest_chunk_bytes)
+                yield from stream_input_chunks(p, fmt, chunk_bytes)
 
     return count_chunked_streams(
         chained(), kk, min_quality, cfg

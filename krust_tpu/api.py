@@ -265,8 +265,9 @@ def _streaming_config(config: EngineConfig | None = None) -> EngineConfig:
     before the parallel pass (src/streaming.rs:857-899) — the functions
     named streaming here default to true record-aligned chunked ingest;
     results are exactly equal either way. An explicit
-    ``ingest_chunk_bytes`` (any truthy value, or 0/None to force eager)
-    is respected.
+    ``ingest_chunk_bytes`` is respected: a positive value sets the chunk
+    size, 0 forces the eager whole-file parse (None — the dataclass
+    default — means "unset" and takes the chunked default here).
     """
     cfg = config or EngineConfig()
     if cfg.ingest_chunk_bytes is None:

@@ -118,9 +118,10 @@ class KmerIndex:
         return self._codes.shape[0] == 0
 
     def into_counts(self) -> dict[int, int]:
-        """The packed counts dict (reference: src/index.rs:112-114 —
-        consuming there; a plain accessor here)."""
-        return self.counts
+        """The packed counts as a dict the caller OWNS (reference:
+        src/index.rs:112-114 is consuming — callers may mutate freely, so
+        this returns a copy rather than the index's cache)."""
+        return dict(self.counts)
 
     def get(self, packed_bits: int) -> int | None:
         """Look up a canonical packed k-mer; None when absent."""

@@ -60,8 +60,13 @@ class MmapFasta:
         return memoryview(self._mm)
 
     def len(self) -> int:
-        """Mapped file length in bytes (reference: src/mmap.rs:65-67)."""
-        return 0 if self._mm is None else self._mm.size()
+        """Mapped length in bytes (reference: src/mmap.rs:65-67).
+
+        The MAPPING's length, not the file's current size: if the file
+        grows after open, the view keeps its original extent and so does
+        this (mmap.size() would re-stat the file).
+        """
+        return 0 if self._mm is None else len(self._mm)
 
     def __len__(self) -> int:
         return self.len()

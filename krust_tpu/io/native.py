@@ -48,12 +48,16 @@ def _build_lib() -> str:
         capture_output=True,
     )
     os.replace(tmp, lib_path)
-    # drop caches of older source revisions (safe on Linux: an unlinked .so
-    # stays mapped in any process that already loaded it)
+    # drop caches of older source revisions and orphaned .tmp<pid> files from
+    # crashed builds (safe on Linux: an unlinked .so stays mapped in any
+    # process that already loaded it; a process racing between its exists()
+    # check and dlopen retries the build — see _get_lib)
     prefix = os.path.join(os.path.dirname(_SRC), "libkrust_native_")
     for old in os.listdir(os.path.dirname(_SRC)):
         full = os.path.join(os.path.dirname(_SRC), old)
-        if full.startswith(prefix) and full.endswith(".so") and full != lib_path:
+        stale = full.endswith(".so") and full != lib_path
+        orphan = ".so.tmp" in old and full != tmp
+        if full.startswith(prefix) and (stale or orphan):
             try:
                 os.unlink(full)
             except OSError:
@@ -72,7 +76,12 @@ def _get_lib() -> ctypes.CDLL | None:
         if _LIB is not None or _LOAD_FAILED:
             return _LIB
         try:
-            lib = ctypes.CDLL(_build_lib())
+            try:
+                lib = ctypes.CDLL(_build_lib())
+            except OSError:
+                # a concurrent upgrade may unlink the .so between our
+                # exists() check and dlopen; one rebuild settles it
+                lib = ctypes.CDLL(_build_lib())
         except Exception:
             _LOAD_FAILED = True
             return None

@@ -681,26 +681,34 @@ def _cpu_platform_forced() -> bool:
 def select_engine(cfg: EngineConfig):
     """The best available engine for this config and machine.
 
-    Dispatch order: KRUST_ENGINE env override (``native`` / ``numpy`` /
-    ``device``) -> explicit numpy request -> pure-numpy oracle; no usable
-    jax -> native host core; jax usable but its best backend is plain CPU
-    (no accelerator) -> native host core too, UNLESS the CPU platform was
-    explicitly forced (the XLA-CPU pipeline exists for testing, not speed —
-    the C++ core is ~50x faster single-core); otherwise the device engine.
+    Dispatch order: explicit numpy request (config beats environment —
+    it is the documented differential-testing knob) -> KRUST_ENGINE env
+    override (``native`` / ``numpy`` / ``device``; a forced device still
+    runs the deadline probe and raises rather than hang on a dead
+    backend) -> no usable jax -> native host core; jax usable but its
+    best backend is plain CPU (no accelerator) -> native host core too,
+    UNLESS the CPU platform was explicitly forced (the XLA-CPU pipeline
+    exists for testing, not speed — the C++ core is ~50x faster
+    single-core); otherwise the device engine.
     """
+    if cfg.use_numpy_backend:
+        return NumpyEngine(cfg)  # explicit request: the pure-numpy oracle
     forced = os.environ.get("KRUST_ENGINE", "").lower()
     if forced == "numpy":
         return NumpyEngine(cfg)
     if forced == "native":
         return NativeEngine(cfg)
     if forced in ("device", "jax", "batch"):
+        if not _jax_usable():
+            raise RuntimeError(
+                "KRUST_ENGINE=device requested but the jax backend probe "
+                "failed or timed out (KRUST_JAX_PROBE_TIMEOUT_S)"
+            )
         return BatchEngine(cfg)
     if forced:
         raise ValueError(
             f"KRUST_ENGINE={forced!r}: expected 'native', 'numpy' or 'device'"
         )
-    if cfg.use_numpy_backend:
-        return NumpyEngine(cfg)  # explicit request: the pure-numpy oracle
     if not _jax_usable():
         return NativeEngine(cfg) if cfg.use_native_host else NumpyEngine(cfg)
     if (

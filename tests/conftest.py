@@ -12,6 +12,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["KRUST_PLATFORM"] = "cpu"
+# engine selection must come from each test, not the developer's shell
+# (CLI tests set KRUST_ENGINE per subprocess; in-process tests construct
+# engines explicitly or rely on auto-dispatch)
+os.environ.pop("KRUST_ENGINE", None)
 # small kernel geometry: interpret-mode tests of the Pallas merge/RLE ops
 # run networks in pure Python; the production default (16384) is TPU-sized
 os.environ.setdefault("KRUST_MERGE_CHUNK", "2048")

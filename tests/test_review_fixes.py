@@ -157,3 +157,40 @@ class TestJaxProbeDeadline:
             assert isinstance(engine, eng.NativeEngine)
         finally:
             eng._JAX_USABLE_CACHE = old_cache
+
+
+class TestEngineOverridePrecedence:
+    """KRUST_ENGINE contracts (round-4 review): explicit config beats the
+    env override, and a forced device still honors the probe deadline."""
+
+    def test_explicit_numpy_beats_env(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setenv("KRUST_ENGINE", "native")
+        engine = eng.select_engine(EngineConfig(use_numpy_backend=True))
+        assert isinstance(engine, eng.NumpyEngine)
+
+    def test_forced_device_raises_on_dead_probe(self, monkeypatch):
+        import jax
+
+        from krust_tpu.models import engines as eng
+
+        def raises():
+            raise RuntimeError("backend exploded")
+
+        monkeypatch.setattr(jax, "devices", raises)
+        monkeypatch.setenv("KRUST_ENGINE", "device")
+        old_cache = eng._JAX_USABLE_CACHE
+        eng._JAX_USABLE_CACHE = None
+        try:
+            with pytest.raises(RuntimeError, match="KRUST_ENGINE=device"):
+                eng.select_engine(EngineConfig())
+        finally:
+            eng._JAX_USABLE_CACHE = old_cache
+
+    def test_bogus_value_rejected(self, monkeypatch):
+        from krust_tpu.models import engines as eng
+
+        monkeypatch.setenv("KRUST_ENGINE", "gpu")
+        with pytest.raises(ValueError, match="KRUST_ENGINE"):
+            eng.select_engine(EngineConfig())

@@ -10,6 +10,12 @@ flush limits, part-merge trees, dense/dirty inputs.
 
 Run: KRUST_PLATFORM=cpu python benches/soak.py [seconds]
 Exit code 0 = no divergence found.
+
+Long runs are supervised: the campaign executes in fresh subprocesses of
+SOAK_BATCH_SECONDS (default 300) each, because XLA-CPU retains one
+compiled executable per distinct jit shape for the process lifetime —
+a randomized-shape soak in a single process grows without bound
+(measured ~3 MB/s RSS here) and eventually OOMs inside LLVM.
 """
 
 from __future__ import annotations
@@ -109,5 +115,40 @@ def main() -> int:
     return 0
 
 
+def supervise(budget: float) -> int:
+    """Run the campaign in fresh subprocess batches (see module docstring)."""
+    import subprocess
+
+    batch = float(os.environ.get("SOAK_BATCH_SECONDS", "300"))
+    base_seed = int(os.environ.get("SOAK_SEED", "0"))
+    t_end = time.monotonic() + budget
+    n_batches = 0
+    while time.monotonic() < t_end:
+        left = t_end - time.monotonic()
+        this = min(batch, max(left, 30.0))
+        env = dict(
+            os.environ,
+            SOAK_SECONDS=str(this),
+            SOAK_SEED=str(base_seed + n_batches + 1),
+            SOAK_CHILD="1",
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, timeout=this + 300
+        )
+        if r.returncode != 0:
+            print(f"soak batch {n_batches + 1} FAILED rc={r.returncode}", flush=True)
+            return r.returncode
+        n_batches += 1
+    print(f"soak supervisor done: {n_batches} clean batches", flush=True)
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    _budget = float(sys.argv[1]) if len(sys.argv) > 1 else float(
+        os.environ.get("SOAK_SECONDS", "600")
+    )
+    if os.environ.get("SOAK_CHILD") or _budget <= float(
+        os.environ.get("SOAK_BATCH_SECONDS", "300")
+    ):
+        sys.exit(main())
+    sys.exit(supervise(_budget))

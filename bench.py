@@ -497,6 +497,16 @@ def _emit_final(state: dict, bases: int, degraded: bool, note: str | None) -> No
         "platform": state.get("platform"),
         "degraded": degraded,
     }
+    if degraded and state.get("platform") == "cpu":
+        # the degraded run is the native host core on this box's core(s);
+        # the apples-to-apples ratio against the measured reference shape
+        # (2.26 Mbases/s/thread faithful proxy) contextualizes the number:
+        # vs_baseline compares 1 core here to 64 ideal-scaled threads there
+        n_cores = os.cpu_count() or 1
+        record["host_cores"] = n_cores
+        record["per_core_vs_reference_per_core"] = round(
+            (value / n_cores) / (BASELINE_BASES_PER_S / 64), 2
+        )
     if note:
         record["note"] = note
     print(json.dumps(record))

@@ -133,11 +133,17 @@ def main():
     )
     print(f"sort_1key_payload_stable_134M: {t/n*1e9:.3f} ns/elem", flush=True)
 
+    # BUG (kept for artifact continuity, see benches/probe_u64.py): without
+    # jax_enable_x64 this asarray silently downcasts to uint32, so the line
+    # below re-measures the 1-operand u32 sort, NOT u64. The real u64 sort
+    # (probe_u64.py, x64 enabled) measures ~3.11 ns/elem incl pack/split —
+    # indistinguishable from the 2-key u32 sort (3.07), so there is no u64
+    # shortcut for the k>16 epoch sort on this chip.
     u64 = jnp.asarray(
         (np.asarray(a, np.uint64) << 32) | np.asarray(b, np.uint64)
     )
     t = bench_chain(lambda x: jax.lax.sort((x,), num_keys=1, is_stable=False)[0], u64)
-    print(f"sort_u64_unstable_134M: {t/n*1e9:.3f} ns/elem", flush=True)
+    print(f"sort_u64_unstable_134M: {t/n*1e9:.3f} ns/elem (downcast: really 1-op u32)", flush=True)
 
 
 if __name__ == "__main__":

@@ -279,9 +279,16 @@ def run_child(bases: int, events_path: str) -> None:
 
     # pass 1: phase-instrumented (emits value + phases + compute-only the
     # moment it completes — a later wedge can't erase it). The host engine
-    # has no transfer phases: its whole pass IS compute.
+    # has no transfer phases: its whole pass IS compute. Two staged passes
+    # when the budget allows: the first pass pays one-time per-executable
+    # dispatch costs over the tunnel (measured ~0.9 s of non-kernel time at
+    # 128 Mbases — benches/probe_compute_breakdown.py attributes the kernel
+    # work at ~0.6 s), so the parent keeps the per-phase MINIMUM across
+    # passes as the steady-state figure.
     if on_tpu:
         _staged_pass(engine, streams, emit)
+        if float(os.environ.get("KRUST_BENCH_PASS_BUDGET_S", "150")) >= 60:
+            _staged_pass(engine, streams, emit)
     else:
         t0 = time.perf_counter()
         result = engine.count(streams, K)
@@ -425,7 +432,16 @@ def _supervise_child(bases: int, env: dict, attempt_budget_s: float, log) -> dic
                 elif kind == "pass":
                     state["passes"].append(ev)
                     if ev.get("phases"):
-                        state["phases"] = ev["phases"]
+                        # per-phase minimum across staged passes: the first
+                        # pass pays one-time per-executable dispatch costs
+                        # (see run_child); the min is the steady state
+                        prev = state["phases"]
+                        cur = ev["phases"]
+                        state["phases"] = (
+                            {p: min(prev[p], cur[p]) for p in cur}
+                            if prev
+                            else cur
+                        )
                 elif kind == "links":
                     state["links"] = ev
             seen = len(lines)

@@ -64,7 +64,10 @@ import numpy as np
 BASELINE_BASES_PER_S = 144.6e6
 #: best-case CPU bound: rolling zero-alloc variant x 64 ideal
 BASELINE_ROLLING_64T = 760.0e6
-K = 21
+# KRUST_BENCH_K switches the workload k (secondary artifacts only — the
+# driver's headline metric stays k=21; the measured 64-thread reference
+# proxy is a k=21 number, so vs_baseline at other k is indicative).
+K = int(os.environ.get("KRUST_BENCH_K", "21"))
 COVERAGE = 32
 READ_LEN = 250
 DEFAULT_BASES = 512_000_000

@@ -477,13 +477,34 @@ class DeviceTable:
 EPOCH_ENTRY_LIMIT = 240_000_000
 
 
-@functools.partial(jax.jit, static_argnames=("one_key", "interpret"))
-def _epoch_sort_rle(hi, lo, one_key, interpret):
+def _hi_sort_dtype(k: int):
+    """Narrowest unsigned dtype for the epoch sort's hi operand at this k.
+
+    hi carries 2*(k-16) significant bits for k > 16.  The 2-key sort's
+    cost tracks operand bytes (measured at 134M on v5e: u32 hi 3.08
+    ns/elem, u16 2.62, u8 2.43 — `benches/probe_hi_narrow.py`), so
+    narrowing hi is a ~1.18-1.27x win on the dominant epoch phase.  The
+    narrow dtype's all-ones value doubles as the sentinel, so it is only
+    safe when every VALID hi is strictly below it — hence the strict
+    `< 8` / `< 16` bit gates (at hi_bits == 8, e.g. k == 20, a canonical
+    k-mer CAN populate hi == 0xFF: TTTT...AAAA forms are their own-rc
+    minima — so k == 20 rides u16, not u8).
+    """
+    hi_bits = 2 * (k - 16)
+    if hi_bits < 8:
+        return jnp.uint8
+    if hi_bits < 16:
+        return jnp.uint16
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _epoch_sort_rle(hi, lo, k, interpret):
     """One epoch flush: flat sort of raw sentinel-keyed windows + fused
     RLE/compaction kernel -> (hi, lo, cnt, n) distinct table part."""
     from .pallas_rle import rle_compact
 
-    if one_key:
+    if k <= 16:
         # k <= 16: hi is identically zero, lo alone orders the keys and
         # lo == SENT safely marks invalid windows — even at k == 16, where
         # codes span all 32 bits, the all-ones code (the all-T k-mer) is
@@ -492,6 +513,20 @@ def _epoch_sort_rle(hi, lo, one_key, interpret):
         # all (no synthesized s_hi, no hi DMA in or out).
         (s_lo,) = jax.lax.sort((lo,), num_keys=1, is_stable=False)
         return rle_compact(None, s_lo, interpret=interpret, one_key=True)
+    dt = _hi_sort_dtype(k)
+    if dt is not None:
+        # 17 <= k <= 23: sort with a narrowed hi operand. astype on
+        # unsigned ints is modular, so the 0xFFFFFFFF sentinel becomes the
+        # narrow all-ones (still the maximum, still sorts last); valid hi
+        # stays strictly below it (see _hi_sort_dtype), so the upcast can
+        # restore the exact u32 sentinel the RLE kernel expects.
+        narrow_max = jnp.uint32((1 << (8 * dt(0).itemsize)) - 1)
+        s_hi_n, s_lo = jax.lax.sort(
+            (hi.astype(dt), lo), num_keys=2, is_stable=False
+        )
+        s_hi32 = s_hi_n.astype(jnp.uint32)
+        s_hi = jnp.where(s_hi32 == narrow_max, jnp.uint32(0xFFFFFFFF), s_hi32)
+        return rle_compact(s_hi, s_lo, interpret=interpret)
     s_hi, s_lo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     return rle_compact(s_hi, s_lo, interpret=interpret)
 
@@ -572,7 +607,7 @@ class EpochTable(DeviceTable):
             self._raw = []
             self._raw_pending = 0
             self._pending_epoch = _epoch_sort_rle(
-                hi, lo, self._k <= 16, self._interpret
+                hi, lo, self._k, self._interpret
             )
 
     def _merge_compacted(self) -> None:

@@ -238,8 +238,8 @@ def _sentinelize(hi, lo, cnt):
     return jnp.where(live, hi, sent), jnp.where(live, lo, sent)
 
 
-@functools.partial(jax.jit, static_argnames=("one_key", "interpret", "mesh"))
-def _epoch_sort_rle_sharded(hi, lo, one_key, interpret, mesh):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "mesh"))
+def _epoch_sort_rle_sharded(hi, lo, k, interpret, mesh):
     """Per-chip epoch flush inside shard_map: local sort + RLE/compaction.
 
     Inputs are [n_dev, L] raw sentinel-keyed windows; every chip sorts and
@@ -251,7 +251,7 @@ def _epoch_sort_rle_sharded(hi, lo, one_key, interpret, mesh):
 
     def local_fn(hi_l, lo_l):
         o_hi, o_lo, o_cnt, n = _epoch_sort_rle(
-            hi_l.reshape(-1), lo_l.reshape(-1), one_key, interpret
+            hi_l.reshape(-1), lo_l.reshape(-1), k, interpret
         )
         return o_hi[None], o_lo[None], o_cnt[None], jax.lax.pmax(n, DATA_AXIS)
 
@@ -422,7 +422,7 @@ class EpochShardedTable(ShardedTable):
         self._raw = []
         self._raw_pending = 0
         self._pending_epoch = _epoch_sort_rle_sharded(
-            hi, lo, self._k <= 16, self._interpret, self._mesh
+            hi, lo, self._k, self._interpret, self._mesh
         )
 
     def _merge_compacted(self) -> None:

@@ -189,3 +189,52 @@ class TestPullHost:
         monkeypatch.setenv("KRUST_PULL_CHUNK_MB", "8")
         arr = jnp.arange(100, dtype=jnp.uint32)
         assert np.array_equal(_pull_host(arr), np.arange(100, dtype=np.uint32))
+
+
+class TestEpochNarrowHiSort:
+    """The narrowed-hi epoch sort (k 17..23) must be exact at every dtype
+    boundary, including max-valid-hi keys and sentinel stripping."""
+
+    def test_hi_sort_dtype_gates(self):
+        import jax.numpy as jnp
+
+        from krust_tpu.ops.table import _hi_sort_dtype
+
+        assert _hi_sort_dtype(17) is jnp.uint8
+        assert _hi_sort_dtype(19) is jnp.uint8  # hi_bits=6 < 8
+        assert _hi_sort_dtype(20) is jnp.uint16  # hi_bits=8: 0xFF reachable
+        assert _hi_sort_dtype(23) is jnp.uint16  # hi_bits=14 < 16
+        assert _hi_sort_dtype(24) is None  # hi_bits=16: 0xFFFF reachable
+        assert _hi_sort_dtype(32) is None
+
+    def test_epoch_table_exact_at_boundaries(self):
+        from krust_tpu.models.engines import _pallas_available
+        from krust_tpu.ops.table import EpochTable
+
+        interpret = not _pallas_available()
+        rng = np.random.default_rng(7)
+        sent = np.uint32(0xFFFFFFFF)
+        for k in (17, 19, 20, 21, 23, 24):
+            hi_bits = 2 * (k - 16)
+            hi_max = (1 << hi_bits) - 1
+            table = EpochTable(k=k, max_parts=2, interpret=interpret)
+            expected: dict[int, int] = {}
+            for _ in range(3):
+                n = 4096
+                hi = rng.integers(0, hi_max + 1, n).astype(np.uint32)
+                lo = rng.integers(0, 1 << 32, n, np.uint64).astype(np.uint32)
+                # force boundary keys: max-valid hi (must NOT be taken for
+                # a sentinel after the narrow sort) incl. with lo=SENT
+                hi[:64] = hi_max
+                lo[:32] = sent
+                invalid = rng.random(n) < 0.1
+                hi[invalid] = sent
+                lo[invalid] = sent
+                table.add(hi, lo, None, n)
+                for h, l, inv in zip(hi.tolist(), lo.tolist(), invalid.tolist()):
+                    if not inv:
+                        key = (h << 32) | l
+                        expected[key] = expected.get(key, 0) + 1
+            codes, counts = table.finalize()
+            got = dict(zip(codes.tolist(), counts.tolist()))
+            assert got == expected, f"k={k}"

@@ -22,8 +22,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/krust_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
-import numpy as np
 import jax.numpy as jnp
+import numpy as np
 
 from probe_r3 import bench_chain  # noqa: E402
 

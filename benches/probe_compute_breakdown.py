@@ -119,7 +119,7 @@ def main():
     sync((hi, lo))
     n = hi.shape[0]
     print(f"  epoch n = {n/1e6:.1f}M", flush=True)
-    t_s = timed("epoch_sort_rle", lambda: _epoch_sort_rle(hi, lo, False, False))
+    t_s = timed("epoch_sort_rle", lambda: _epoch_sort_rle(hi, lo, K, False))
     print(f"  -> {t_s/n*1e9:.3f} ns/elem", flush=True)
 
     total = t_all + t_c + t_s

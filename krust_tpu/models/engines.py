@@ -305,10 +305,13 @@ class NativeEngine:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "rows", "block_windows", "use_pallas", "mode"),
+    static_argnames=(
+        "k", "rows", "block_windows", "use_pallas", "mode", "fused", "interpret"
+    ),
 )
 def _count_flat_step(
-    packed2, invpos, covered, k, rows, block_windows, use_pallas, mode="raw"
+    packed2, invpos, covered, k, rows, block_windows, use_pallas, mode="raw",
+    fused=False, interpret=False,
 ):
     """Flat-transfer batch step: the minimum-byte device pipeline.
 
@@ -321,19 +324,68 @@ def _count_flat_step(
     - ``"raw_sent"``: UNSORTED (hi, lo) with invalid windows as the
       (SENT, SENT) key — the EpochTable path; the epoch sort orders
       everything at once, so the batch step stays codec-only.
-    """
-    from ..ops.codec import encode_blocks, unpack_flat_blocks
-    from ..ops.pallas_codec import encode_blocks_pallas
 
-    blocks = unpack_flat_blocks(packed2, invpos, k, rows, block_windows)
-    enc = encode_blocks_pallas if use_pallas else encode_blocks
-    hi, lo, valid = enc(blocks, k, None, None)
+    ``fused=True`` (round 5, requires block_windows % 512 == 0) runs the
+    single-kernel codec (:mod:`krust_tpu.ops.pallas_fused`): the packed
+    bytes go straight into the kernel — no uint8 block tensor in HBM — and
+    window validity is reconstructed OUTSIDE from the sparse invalid
+    positions (scatter + log-step dilation + covered mask). Outputs are in
+    the kernel's plane-separated window order; counting is order-
+    insensitive, so no consumer cares. ``interpret`` is for CPU tests of
+    the fused path only.
+    """
+    jnp = jax.numpy
     w = block_windows
-    idx = jax.numpy.arange(rows * w, dtype=jax.numpy.int32).reshape(rows, w)
-    valid = valid & (idx < covered)
+    if fused:
+        from ..ops.pallas_fused import HALO_BYTES, encode_packed_pallas
+
+        w4 = w // 4
+        need = (rows + 1) * w4
+        n = packed2.shape[0]
+        if n < need:
+            packed2 = jnp.concatenate(
+                [packed2, jnp.zeros(need - n, jnp.uint8)]
+            )
+        else:
+            packed2 = packed2[:need]
+        main = packed2[: rows * w4].reshape(rows, w4)
+        halo = packed2[w4:].reshape(rows, w4)[:, :HALO_BYTES]
+        hi, lo = encode_packed_pallas(main, halo, k, interpret)
+        # plane-separated global window index: column r*w4 + q is window
+        # 4q + r, i.e. stream position row*w + 4q + r
+        q4 = jnp.arange(w4, dtype=jnp.int32)
+        offs = jnp.concatenate([4 * q4 + r for r in range(4)])
+        idx = jnp.arange(rows, dtype=jnp.int32)[:, None] * w + offs[None, :]
+        valid = idx < covered
+        # window poisoning: window j is invalid iff any invalid base sits in
+        # [j, j + k - 1] — scatter the sparse positions, then OR-dilate to
+        # window coverage in log2(k) shifted passes
+        nbad = rows * w + k - 1
+        bad = jnp.zeros(nbad, jnp.bool_).at[invpos].set(True, mode="drop")
+        c = 1
+        while c < k:
+            s = min(c, k - c)
+            bad = bad | jnp.concatenate([bad[s:], jnp.zeros(s, jnp.bool_)])
+            c += s
+        badw = (
+            bad[: rows * w]
+            .reshape(rows, w4, 4)
+            .transpose(0, 2, 1)
+            .reshape(rows, w)
+        )
+        valid = valid & ~badw
+    else:
+        from ..ops.codec import encode_blocks, unpack_flat_blocks
+        from ..ops.pallas_codec import encode_blocks_pallas
+
+        blocks = unpack_flat_blocks(packed2, invpos, k, rows, block_windows)
+        enc = encode_blocks_pallas if use_pallas else encode_blocks
+        hi, lo, valid = enc(blocks, k, None, None)
+        idx = jnp.arange(rows * w, dtype=jnp.int32).reshape(rows, w)
+        valid = valid & (idx < covered)
     if mode == "raw_sent":
         return _sentinel_part(hi, lo, valid)
-    return hi, lo, valid.astype(jax.numpy.uint32)
+    return hi, lo, valid.astype(jnp.uint32)
 
 
 def _sentinel_part(hi, lo, valid):
@@ -452,6 +504,9 @@ class BatchEngine:
             if cfg.use_flat
             else None
         )
+        fused = (
+            cfg.use_fused_codec and use_pallas and cfg.block_windows % 512 == 0
+        )
         if flat is not None:
             for batch in flat:
                 batch_windows = batch.rows * batch.block_windows
@@ -467,6 +522,7 @@ class BatchEngine:
                         batch.block_windows,
                         use_pallas,
                         mode,
+                        fused,
                     )
                     if len(out) == 2:
                         table.add(out[0], out[1], None, batch_windows)

@@ -389,14 +389,14 @@ class EpochShardedTable(ShardedTable):
         self._pending_epoch = None
 
     def add(self, u_hi, u_lo, u_cnt, n_windows: int):
-        from ..ops.table import EPOCH_ENTRY_LIMIT
+        from ..ops.table import epoch_entry_limit
 
         u_hi, u_lo = _sentinelize(u_hi, u_lo, u_cnt)
         self._raw.append((u_hi, u_lo))
         self._raw_pending += u_hi.shape[1]
         self.windows_this_epoch += n_windows
         n_dev = self._mesh.shape[DATA_AXIS]
-        if self._raw_pending >= max(EPOCH_ENTRY_LIMIT // n_dev, 1 << 20):
+        if self._raw_pending >= max(epoch_entry_limit() // n_dev, 1 << 20):
             self._flush_raw()
 
     def _resolve_epoch(self) -> None:

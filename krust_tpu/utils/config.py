@@ -49,6 +49,12 @@ class EngineConfig:
     #: dense badbits path automatically for dirty inputs
     use_flat: bool = True
 
+    #: use the fused packed-bytes codec kernel (round 5) on the flat path:
+    #: packed 2-bit bytes go straight into one Pallas kernel — no uint8
+    #: block tensor round-trips HBM between unpack and encode. Requires
+    #: block_windows % 512 == 0 and a TPU backend; auto-disabled otherwise.
+    use_fused_codec: bool = True
+
     #: when set, file/stdin inputs stream through record-aligned chunks of
     #: this many bytes instead of one eager whole-file parse — bounded host
     #: memory for inputs larger than RAM (None = eager, the default)

@@ -55,6 +55,7 @@ import pytest as _pytest  # noqa: E402
 # keeping them compiled.
 _HEAVY_COMPILE_MODULES = {
     "test_pallas",
+    "test_pallas_fused",
     "test_pallas_merge",
     "test_pallas_rle",
     "test_flat",

@@ -106,3 +106,83 @@ def test_k16_one_op_sentinel_safety():
     assert np.array_equal(got.counts, exp.counts)
     # the all-A canonical code (poly-T folded) dominates
     assert got.codes[0] == 0 and got.counts[0] >= 2 * (600 - 15)
+
+
+class TestAdaptiveAndScaledLimits:
+    """Round 5: HBM-scaled entry limits + duplication-adaptive epoch sizing."""
+
+    def test_env_override_pins_limits(self, monkeypatch):
+        import krust_tpu.ops.table as table_mod
+
+        monkeypatch.setenv("KRUST_EPOCH_ENTRIES", "12345")
+        monkeypatch.setenv("KRUST_PENDING_ENTRIES", "6789")
+        assert table_mod.epoch_entry_limit() == 12345
+        t = table_mod.EpochTable(k=11)
+        assert t._epoch_limit == 12345
+        assert t._pending_limit == 6789
+        assert t._adaptive is False  # explicit pin disables adaptation
+
+    def test_hbm_scaling(self, monkeypatch):
+        import krust_tpu.ops.table as table_mod
+
+        monkeypatch.delenv("KRUST_EPOCH_ENTRIES", raising=False)
+        # simulate a 8GB part: limits halve vs the 16GB tuning point
+        monkeypatch.setattr(table_mod, "_HBM_CACHE", 8 << 30)
+        assert table_mod.epoch_entry_limit() == 120_000_000
+        # simulate a tiny device: the 1M floor holds
+        monkeypatch.setattr(table_mod, "_HBM_CACHE", 1 << 20)
+        assert table_mod.epoch_entry_limit() == 1 << 20
+        # unqueryable (CPU): tuned constants as-is
+        monkeypatch.setattr(table_mod, "_HBM_CACHE", None)
+        assert table_mod.epoch_entry_limit() == table_mod.EPOCH_ENTRY_LIMIT
+
+    def test_adaptive_epoch_shrinks_on_duplication(self, monkeypatch):
+        """High-duplication input retunes the epoch limit after epoch 1
+        (to ADAPT_DUP_TARGET * distinct) and stays exact vs the oracle."""
+        import krust_tpu.ops.table as table_mod
+
+        monkeypatch.delenv("KRUST_EPOCH_ENTRIES", raising=False)
+        monkeypatch.setattr(table_mod, "EPOCH_ENTRY_LIMIT", 4096)
+        monkeypatch.setattr(table_mod.EpochTable, "ADAPT_MIN", 64)
+        rng = np.random.default_rng(55)
+        # ~30 distinct 9-mers duplicated heavily: dup ratio >> ADAPT target
+        motif = _stream(rng, 40, 0.0)
+        codes = np.concatenate([motif for _ in range(600)])
+        streams = ParsedStreams(codes, None, 1, codes.shape[0])
+        engine = BatchEngine(_cfg())
+        mode, table = engine._make_table(9)
+
+        epochs = []
+        engine._feed_streams(streams, 9, None, table, mode, epochs, lambda w: None)
+        assert table._adaptive is False
+        assert table._epoch_limit < 4096  # shrunk from the big limit
+        got_codes, got_counts = table.finalize()
+        for e_codes, e_counts in epochs:
+            # fold any early-epoch results (uint32 headroom flushes)
+            merged = {}
+            for c, n in zip(got_codes.tolist(), got_counts.tolist()):
+                merged[c] = merged.get(c, 0) + n
+            for c, n in zip(e_codes.tolist(), e_counts.tolist()):
+                merged[c] = merged.get(c, 0) + n
+            got_codes = np.array(sorted(merged), np.uint64)
+            got_counts = np.array([merged[c] for c in sorted(merged)], np.uint64)
+        exp = NumpyEngine(EngineConfig()).count(streams, 9)
+        assert np.array_equal(got_codes, exp.codes)
+        assert np.array_equal(got_counts, exp.counts)
+
+    def test_adaptive_epoch_keeps_large_on_low_duplication(self, monkeypatch):
+        import krust_tpu.ops.table as table_mod
+
+        monkeypatch.delenv("KRUST_EPOCH_ENTRIES", raising=False)
+        monkeypatch.setattr(table_mod, "EPOCH_ENTRY_LIMIT", 2048)
+        monkeypatch.setattr(table_mod.EpochTable, "ADAPT_MIN", 64)
+        rng = np.random.default_rng(56)
+        codes = _stream(rng, 12_000, 0.0)  # random: low duplication
+        streams = ParsedStreams(codes, None, 1, codes.shape[0])
+        engine = BatchEngine(_cfg())
+        mode, table = engine._make_table(15)
+        epochs = []
+        engine._feed_streams(streams, 15, None, table, mode, epochs, lambda w: None)
+        table.finalize()
+        # distinct ~= windows: target 64 * n exceeds the limit -> unchanged
+        assert table._epoch_limit == 2048

@@ -200,11 +200,15 @@ class TestEpochNarrowHiSort:
 
         from krust_tpu.ops.table import _hi_sort_dtype
 
+        # round 5: sentinels are the all-ones PAIR (never a canonical
+        # k-mer), so the gates are inclusive — k=20 rides u8, k=24 u16
         assert _hi_sort_dtype(17) is jnp.uint8
-        assert _hi_sort_dtype(19) is jnp.uint8  # hi_bits=6 < 8
-        assert _hi_sort_dtype(20) is jnp.uint16  # hi_bits=8: 0xFF reachable
-        assert _hi_sort_dtype(23) is jnp.uint16  # hi_bits=14 < 16
-        assert _hi_sort_dtype(24) is None  # hi_bits=16: 0xFFFF reachable
+        assert _hi_sort_dtype(19) is jnp.uint8  # hi_bits=6
+        assert _hi_sort_dtype(20) is jnp.uint8  # hi_bits=8: pair-sentinel
+        assert _hi_sort_dtype(21) is jnp.uint16  # hi_bits=10
+        assert _hi_sort_dtype(23) is jnp.uint16  # hi_bits=14
+        assert _hi_sort_dtype(24) is jnp.uint16  # hi_bits=16: pair-sentinel
+        assert _hi_sort_dtype(25) is None  # hi_bits=18
         assert _hi_sort_dtype(32) is None
 
     def test_epoch_table_exact_at_boundaries(self):
@@ -214,7 +218,7 @@ class TestEpochNarrowHiSort:
         interpret = not _pallas_available()
         rng = np.random.default_rng(7)
         sent = np.uint32(0xFFFFFFFF)
-        for k in (17, 19, 20, 21, 23, 24):
+        for k in (17, 19, 20, 21, 23, 24, 25):
             hi_bits = 2 * (k - 16)
             hi_max = (1 << hi_bits) - 1
             table = EpochTable(k=k, max_parts=2, interpret=interpret)
@@ -224,9 +228,13 @@ class TestEpochNarrowHiSort:
                 hi = rng.integers(0, hi_max + 1, n).astype(np.uint32)
                 lo = rng.integers(0, 1 << 32, n, np.uint64).astype(np.uint32)
                 # force boundary keys: max-valid hi (must NOT be taken for
-                # a sentinel after the narrow sort) incl. with lo=SENT
+                # a sentinel after the narrow sort) and lo == all-ones —
+                # but never the all-ones PAIR, which is reserved for
+                # sentinels (it is the all-T k-mer, never canonical)
                 hi[:64] = hi_max
-                lo[:32] = sent
+                lo[64:96] = sent
+                reserved = (hi == hi_max) & (lo == sent)
+                lo[reserved] = sent - 1
                 invalid = rng.random(n) < 0.1
                 hi[invalid] = sent
                 lo[invalid] = sent

@@ -67,17 +67,43 @@ def main() -> None:
             "# meaningful solely on real multi-chip hardware.",
             flush=True,
         )
+    from krust_tpu.utils import tracing
+
     meshes = []
     t1 = None
     for n in sizes:
         streams = make_streams(per_dev_bases * n)
         mesh = make_mesh(n)
         count_sharded(streams, k, mesh=mesh, config=cfg)  # warmup/compile
+
+        # per-phase attribution + collective volume + shard skew for the
+        # measured pass (VERDICT r4 #7: make the first real pod run
+        # diagnosable, not just a number)
+        phases: dict[str, float] = {}
+        wire = {"bytes": 0, "exchanges": 0}
+        skew: dict[str, object] = {}
+
+        def collect(kind, name, fields):
+            if kind == "span":
+                phases[name] = phases.get(name, 0.0) + fields["elapsed_s"]
+                if name == "sharded_exchange":
+                    wire["bytes"] += fields.get("wire_bytes", 0)
+                    wire["exchanges"] += 1
+            elif kind == "event" and name == "shard_sizes":
+                sizes_ = fields["sizes"]
+                skew["per_device_n_unique"] = sizes_
+                if sizes_ and max(sizes_):
+                    mean = sum(sizes_) / len(sizes_)
+                    skew["max_over_mean"] = round(max(sizes_) / max(mean, 1), 4)
+
         ts = []
-        for _ in range(3):
+        for i in range(3):
+            if i == 2:  # attribute the last (warm) pass
+                tracing.add_collector(collect)
             t0 = time.perf_counter()
             res = count_sharded(streams, k, mesh=mesh, config=cfg)
             ts.append(time.perf_counter() - t0)
+        tracing.remove_collector(collect)
         t = min(ts)
         exp = NumpyEngine().count(streams, k)
         exact = bool(
@@ -88,6 +114,7 @@ def main() -> None:
         if n == 1:
             t1 = t
         eff = (t1 / t) if t1 else 1.0
+        t_attr = ts[2]
         row = {
             "devices": n,
             "bases": per_dev_bases * n,
@@ -95,11 +122,20 @@ def main() -> None:
             "bases_per_s": round(per_dev_bases * n / t, 1),
             "weak_scaling_efficiency": round(eff, 4),
             "exact_vs_oracle": exact,
+            "attributed_pass_wall_s": round(t_attr, 4),
+            "phase_wall_s": {
+                p: round(v, 4) for p, v in sorted(phases.items())
+            },
+            "all_to_all_gross_bytes": wire["bytes"],
+            "exchanges": wire["exchanges"],
+            **skew,
         }
         meshes.append(row)
         print(
             f"devices={n} bases={row['bases']} wall={t:.2f}s "
-            f"weak_scaling_efficiency={eff:.2f} exact={exact}",
+            f"weak_scaling_efficiency={eff:.2f} exact={exact} "
+            f"wire={wire['bytes']>>10}KiB "
+            f"skew={skew.get('max_over_mean', 'n/a')}",
             flush=True,
         )
 

@@ -417,6 +417,65 @@ def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, mode="raw"):
     return hi, lo, valid.astype(jax.numpy.uint32)
 
 
+def _prefetch_staged(gen, stage_fn, depth: int):
+    """Run ``stage_fn`` over ``gen`` in a background thread, ``depth`` deep.
+
+    The double-buffered host->device feed (SURVEY §7 L3; VERDICT r4 weak
+    #3): ``stage_fn`` does the per-batch host glue + ``device_put``
+    dispatch off the main thread, so transfers overlap the device compute
+    the main loop keeps dispatching. A bounded queue caps in-flight
+    batches (device memory: ~8MB packed bytes each). FIFO order is
+    preserved — results are bit-identical to the synchronous loop, pinned
+    by tests/test_flat.py. ``depth <= 0`` degrades to the synchronous
+    map (used by tests and single-batch inputs).
+
+    Reference analog: rayon's read/compute overlap (src/reader.rs:58-79).
+    """
+    if depth <= 0:
+        for b in gen:
+            yield stage_fn(b)
+        return
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    done = object()
+    stop = threading.Event()
+    err: list[BaseException] = []
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for b in gen:
+                if stop.is_set() or not put(stage_fn(b)):
+                    return
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            put(done)
+
+    t = threading.Thread(target=worker, name="krust-feed", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # consumer abandoned early: unblock the worker
+
+
 def _pallas_available() -> bool:
     """Pallas TPU kernels require a TPU-like backend (not cpu/gpu)."""
     try:
@@ -507,15 +566,27 @@ class BatchEngine:
         fused = (
             cfg.use_fused_codec and use_pallas and cfg.block_windows % 512 == 0
         )
+        depth = cfg.feed_depth
         if flat is not None:
-            for batch in flat:
+            # stage (host glue + device_put dispatch) runs on the feeder
+            # thread so transfers overlap the compute dispatched below
+            staged = _prefetch_staged(
+                flat,
+                lambda b: (
+                    jax.numpy.asarray(b.packed2),
+                    jax.numpy.asarray(b.invpos),
+                    b,
+                ),
+                depth,
+            )
+            for p2, iv, batch in staged:
                 batch_windows = batch.rows * batch.block_windows
                 if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                     epochs.append(table.finalize())  # uint32 headroom exhausted
                 with span("encode_count_batch", rows=batch.rows):
                     out = _count_flat_step(
-                        jax.numpy.asarray(batch.packed2),
-                        jax.numpy.asarray(batch.invpos),
+                        p2,
+                        iv,
                         np.int32(batch.covered),
                         k,
                         batch.rows,
@@ -533,15 +604,23 @@ class BatchEngine:
             batches = pack_buffer_2bit(
                 streams.codes, qual_stream, k, thr, cfg.block_windows, cfg.batch_rows
             )
-            for batch in batches:
+
+            def _stage_dense(batch):
                 batch = self._pad_batch2(batch)
+                return (
+                    jax.numpy.asarray(batch.packed2),
+                    jax.numpy.asarray(batch.badbits),
+                    batch,
+                )
+
+            for p2, bb, batch in _prefetch_staged(batches, _stage_dense, depth):
                 batch_windows = batch.packed2.shape[0] * batch.block_windows
                 if table.windows_this_epoch + batch_windows >= EPOCH_WINDOW_LIMIT:
                     epochs.append(table.finalize())
                 with span("encode_count_batch", rows=batch.packed2.shape[0]):
                     out = _dense_raw_step(
-                        jax.numpy.asarray(batch.packed2),
-                        jax.numpy.asarray(batch.badbits),
+                        p2,
+                        bb,
                         k,
                         batch.width,
                         use_pallas,

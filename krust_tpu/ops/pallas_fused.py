@@ -14,18 +14,26 @@ over a 16-bit sliding byte-pair window:
 
     pack_m(4q + r) = (pair16[q] >> (16 - 2*(r + m))) & (4^m - 1)   (m <= 4)
 
-and the pack-doubling combines (see ops/pallas_codec._codec_body) stay
-plane-local whenever the segment length m is a multiple of 4:
+and the pack-doubling combines stay plane-local whenever the segment
+length m is a multiple of 4:
 
     pack_2m(4q + r) = pack_m(4q + r) << 2m | pack_m(4q + r + m)
                     = P_m[r][q]     << 2m | P_m[r][q + m/4]
 
-Cross-plane hops only occur in the final <= 3 combines for k's low bits
-(offsets j + L with L not a multiple of 4 land in plane (r + L) % 4 at
-q + (r + L) // 4 — all static slicing). The byte atom also starts the
-doubling at m = 4 for free (the byte IS pack_4), and reverse complements
-derive arithmetically: complement of a packed field is all-ones minus it,
-so rc_4 = field-reverse(0xFF - pack_4).
+(cross-plane hops — offset j + L with L not a multiple of 4 lands in
+plane (r + L) % 4 at q + (r + L) // 4 — are all static slicing). The byte
+atom starts the doubling at m = 4 for free (the byte IS pack_4), and
+reverse complements derive arithmetically: complement of a packed field
+is all-ones minus it, so rc_4 = field-reverse(0xFF - pack_4).
+
+The 64-bit code is assembled as two INDEPENDENT <= 16-base plane packs —
+fwd_hi = pack(first k-16 bases), fwd_lo = pack(last 16); rc_hi = rc(last
+k-16), rc_lo = rc(first 16) — so every combine is a sub-32-bit uint32
+shift/or with no cross-plane carry chains. (The first formulation carried
+a (hi, lo) pair through the final combines; Mosaic miscompiled its pair
+shifts for k >= 25 — compiled-vs-interpret divergence isolated on chip,
+see benches/probe_fused_codec.py — and the independent-plane form is
+both immune and cheaper.)
 
 The kernel computes NO validity: garbage codes at invalid/padding positions
 produce garbage (hi, lo) for windows the caller poisons afterwards from the
@@ -64,17 +72,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _shl64(lo, s: int):
-    """(0, lo) << s as a (hi, lo) uint32 pair; 0 <= s < 64, static."""
-    if s == 0:
-        return jnp.zeros_like(lo), lo
-    if s < 32:
-        return lo >> (32 - s), lo << s
-    if s == 32:
-        return lo, jnp.zeros_like(lo)
-    return lo << (s - 32), jnp.zeros_like(lo)
-
-
 def _rc4(p4):
     """rc of a 4-base pack: complement (0xFF - x), reverse the 2-bit fields."""
     c = jnp.uint32(0xFF) - p4
@@ -91,11 +88,39 @@ def _rc2(p2):
     return ((c & 3) << 2) | (c >> 2)
 
 
-def _bits_of(k: int) -> list[int]:
-    """k as a sum of <= 16-base segments, most significant first."""
-    if k == 32:
-        return [16, 16]
-    return [1 << i for i in range(k.bit_length() - 1, -1, -1) if k & (1 << i)]
+def _bits_of(m: int) -> list[int]:
+    """m (1..16) as powers of two, most significant first."""
+    return [1 << i for i in range(m.bit_length() - 1, -1, -1) if m & (1 << i)]
+
+
+def _compose_fwd(P, r: int, off: int, mbits: list[int], need_w: int):
+    """Forward pack of segment [j + off, j + off + sum(mbits)) per window
+    j = 4q + r, as one uint32 plane (sum(mbits) <= 16). All slices static."""
+    acc = None
+    L = 0
+    for b in mbits:
+        p = off + L  # absolute base offset of this sub-segment
+        seg = P[b][(r + p) % 4][:, (r + p) // 4 :]
+        if acc is None:
+            acc = seg[:, :need_w]
+        else:
+            acc = (acc << (2 * b)) | seg[:, :need_w]
+        L += b
+    return acc
+
+
+def _compose_rc(R, r: int, off: int, mbits: list[int], need_w: int):
+    """Reverse-complement pack of the same segment: rc(concat(A, B)) =
+    rc(B) << 2*len(A) | rc(A), so later sub-segments shift by the length
+    already consumed. Single uint32 plane, shifts < 32."""
+    acc = None
+    L = 0
+    for b in mbits:
+        p = off + L
+        seg = R[b][(r + p) % 4][:, (r + p) // 4 :][:, :need_w]
+        acc = seg if acc is None else (seg << (2 * L)) | acc
+        L += b
+    return acc
 
 
 def _fused_body(bts, k: int, w4: int):
@@ -106,11 +131,24 @@ def _fused_body(bts, k: int, w4: int):
     """
     pair16 = ((bts[:, :-1] << 8) | bts[:, 1:]).astype(jnp.uint32)
 
-    bits = _bits_of(k)
-    need = set(bits)
-    top = bits[0]
+    # the 64-bit code splits into two INDEPENDENT <= 16-base plane packs
+    # (no cross-plane carries, all shifts < 32 — uint32 throughout):
+    #   fwd_hi = pack(first k-16 bases), fwd_lo = pack(last 16 bases)
+    #   rc_hi  = rc(last k-16 bases),    rc_lo  = rc(first 16 bases)
+    if k <= 16:
+        hi_bits, hi_off_f = [], 0
+        lo_bits, lo_off_f = _bits_of(k), 0
+        lo_off_r = 0
+    else:
+        hi_bits, hi_off_f = _bits_of(k - 16), 0
+        lo_bits, lo_off_f = [16], k - 16
+        lo_off_r = 0
+    need = set(hi_bits) | set(lo_bits)
+    top = max(need)
     if top > 4:
         need.add(4)  # doubling to 8/16 starts from the byte atom
+        if top == 16:
+            need.add(8)
 
     # base partials per plane from the byte-pair window (all widths W4H - 1)
     P: dict[int, list] = {}
@@ -133,8 +171,9 @@ def _fused_body(bts, k: int, w4: int):
                 R[mseg].append(_rc4(p))
 
     # plane-local doubling for m = 8, 16
-    m = 4
-    while 2 * m <= top:
+    for m in (4, 8):
+        if 2 * m not in need:
+            continue
         step = m // 4
         P[2 * m] = [
             (P[m][r][:, :-step] << (2 * m)) | P[m][r][:, step:]
@@ -144,53 +183,14 @@ def _fused_body(bts, k: int, w4: int):
             (R[m][r][:, step:] << (2 * m)) | R[m][r][:, :-step]
             for r in range(4)
         ]
-        m *= 2
 
     his, los = [], []
     for r in range(4):
-        fwd_lo = P[top][r]
-        rc_lo = R[top][r]
-        fwd_hi = rc_hi = None
-        width = fwd_lo.shape[1]
-        L = top
-        for b in bits[1:]:
-            r2 = (r + L) % 4
-            qoff = (r + L) // 4
-            width = min(width, P[b][r2].shape[1] - qoff)
-            pb_s = P[b][r2][:, qoff : qoff + width]
-            rb_s = R[b][r2][:, qoff : qoff + width]
-            wide_next = 2 * (L + b) > 32
-            s = 2 * b
-            if fwd_hi is not None:
-                fwd_hi = (fwd_hi[:, :width] << s) | (
-                    fwd_lo[:, :width] >> (32 - s)
-                )
-                fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-            elif not wide_next:
-                fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-            elif s == 32:
-                fwd_hi = fwd_lo[:, :width]
-                fwd_lo = pb_s
-            else:
-                fwd_hi = fwd_lo[:, :width] >> (32 - s)
-                fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-            sh_hi, sh_lo = _shl64(rb_s, 2 * L)
-            if rc_hi is not None:
-                rc_hi = rc_hi[:, :width] | sh_hi
-                rc_lo = rc_lo[:, :width] | sh_lo
-            elif wide_next:
-                rc_hi = sh_hi
-                rc_lo = rc_lo[:, :width] | sh_lo
-            else:
-                rc_lo = rc_lo[:, :width] | sh_lo
-            L += b
-
-        assert L == k and width >= w4, (L, width, w4)
-        fwd_lo = fwd_lo[:, :w4]
-        rc_lo = rc_lo[:, :w4]
-        if fwd_hi is not None:
-            fwd_hi = fwd_hi[:, :w4]
-            rc_hi = rc_hi[:, :w4]
+        fwd_lo = _compose_fwd(P, r, lo_off_f, lo_bits, w4)
+        rc_lo = _compose_rc(R, r, lo_off_r, lo_bits, w4)
+        if hi_bits:
+            fwd_hi = _compose_fwd(P, r, hi_off_f, hi_bits, w4)
+            rc_hi = _compose_rc(R, r, 16, hi_bits, w4)
             use_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
             hi = jnp.where(use_rc, rc_hi, fwd_hi)
         else:

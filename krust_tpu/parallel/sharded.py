@@ -52,7 +52,7 @@ from ..ops.count import merge_runs
 from ..ops.table import EPOCH_WINDOW_LIMIT, DeviceTable
 from ..utils.config import EngineConfig
 from ..utils.numutil import round_pow2
-from ..utils.tracing import span
+from ..utils.tracing import span, trace_event
 from .mesh import DATA_AXIS, make_mesh
 
 # multiplicative mixing constants (odd, high-entropy)
@@ -354,7 +354,14 @@ class ShardedTable(DeviceTable):
                     "uniform load"
                 )
             cap = min(max(64, -(-n_loc // n_dev) * factor), n_loc)
-            with span("sharded_exchange", devices=n_dev, cap=cap):
+            # gross collective volume: every chip all-to-alls 3 u32 planes
+            # of n_dev*cap entries (scaling harnesses collect this field)
+            with span(
+                "sharded_exchange",
+                devices=n_dev,
+                cap=cap,
+                wire_bytes=12 * cap * n_dev * n_dev,
+            ):
                 m_hi, m_lo, m_cnt, n_m, ovf = _exchange_sharded(
                     t_hi, t_lo, t_cnt, self._k, self._mesh, cap
                 )
@@ -510,6 +517,9 @@ def count_sharded(
             s.index[0].start or 0: int(np.asarray(s.data)[0])
             for s in n_m.addressable_shards
         }
+        # per-device final-shard sizes: the skew signal a scaling run needs
+        # to diagnose a hash-range imbalance (collected by benches/scaling.py)
+        trace_event("shard_sizes", sizes=sorted(n_by_dev.values()))
         rows = {}
         for name, arr in (("hi", m_hi), ("lo", m_lo), ("cnt", m_cnt)):
             for s in arr.addressable_shards:

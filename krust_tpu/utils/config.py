@@ -59,3 +59,9 @@ class EngineConfig:
     #: this many bytes instead of one eager whole-file parse — bounded host
     #: memory for inputs larger than RAM (None = eager, the default)
     ingest_chunk_bytes: int | None = None
+
+    #: double-buffered feed depth: a background thread stages (host glue +
+    #: device_put) up to this many batches ahead so host->device transfers
+    #: overlap device compute (SURVEY §7 L3). 0 = synchronous feed.
+    #: Results are bit-identical either way (FIFO order preserved).
+    feed_depth: int = 2

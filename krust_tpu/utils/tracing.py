@@ -18,6 +18,32 @@ logger = logging.getLogger("krust_tpu")
 
 _INITIALIZED = False
 
+#: in-process trace subscribers: callables (kind, name, fields) where kind
+#: is "span" (fields include elapsed_s) or "event". Harnesses (e.g.
+#: benches/scaling.py) install one to attribute wall time per phase and
+#: collect collective volumes without parsing logs.
+_COLLECTORS: list = []
+
+
+def add_collector(fn) -> None:
+    """Subscribe ``fn(kind, name, fields)`` to spans and events."""
+    _COLLECTORS.append(fn)
+
+
+def remove_collector(fn) -> None:
+    try:
+        _COLLECTORS.remove(fn)
+    except ValueError:
+        pass
+
+
+def _emit(kind: str, name: str, fields: dict) -> None:
+    for fn in list(_COLLECTORS):
+        try:
+            fn(kind, name, fields)
+        except Exception:  # a broken subscriber must not break the engine
+            logger.exception("trace collector failed")
+
 
 def init_tracing(level: str | None = None) -> None:
     """Initialize the tracing subscriber from ``KRUST_LOG`` (or ``level``)."""
@@ -60,9 +86,14 @@ def span(name: str, **fields):
                 annotation.__exit__(None, None, None)
             except Exception:
                 pass
-        logger.info("exit %s elapsed=%.6fs", name, time.perf_counter() - start)
+        elapsed = time.perf_counter() - start
+        logger.info("exit %s elapsed=%.6fs", name, elapsed)
+        if _COLLECTORS:
+            _emit("span", name, dict(fields, elapsed_s=elapsed))
 
 
 def trace_event(message: str, **fields) -> None:
     """Emit a single structured event (reference: info!/debug! events)."""
     logger.info("%s %s", message, fields if fields else "")
+    if _COLLECTORS:
+        _emit("event", message, fields)

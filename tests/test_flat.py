@@ -243,3 +243,66 @@ class TestFlatBatchWidths:
         widths = flat_batch_widths(codes, qual, 7, 53, 128, 4)
         flat = flat_batches(codes, qual, 7, 53, 128, 4)
         assert widths == [b.invpos.shape[0] for b in flat]
+
+
+class TestPrefetchFeed:
+    """Double-buffered feed (round 5): identical results, clean teardown."""
+
+    def test_depth_invariance(self):
+        rng = np.random.default_rng(21)
+        codes = rng.integers(0, 4, 9000, dtype=np.uint8)
+        codes[rng.choice(9000, size=40, replace=False)] = INVALID_CODE
+        streams = ParsedStreams(codes, None, 1, codes.shape[0])
+        outs = []
+        for depth in (0, 2, 5):
+            cfg = EngineConfig(
+                block_windows=256, batch_rows=4, feed_depth=depth
+            )
+            outs.append(BatchEngine(cfg).count(streams, 13))
+        for o in outs[1:]:
+            assert np.array_equal(o.codes, outs[0].codes)
+            assert np.array_equal(o.counts, outs[0].counts)
+
+    def test_error_propagates(self):
+        from krust_tpu.models.engines import _prefetch_staged
+
+        def gen():
+            yield 1
+            raise RuntimeError("reader exploded")
+
+        it = _prefetch_staged(gen(), lambda x: x * 2, depth=2)
+        assert next(it) == 2
+        with pytest.raises(RuntimeError, match="reader exploded"):
+            list(it)
+
+    def test_early_abandon_no_deadlock(self):
+        import threading
+
+        from krust_tpu.models.engines import _prefetch_staged
+
+        n_live = threading.active_count()
+        it = _prefetch_staged(iter(range(1000)), lambda x: x, depth=1)
+        assert next(it) == 0
+        it.close()  # GeneratorExit -> finally -> stop.set()
+        for _ in range(100):
+            if threading.active_count() <= n_live:
+                break
+            import time
+
+            time.sleep(0.05)
+        assert threading.active_count() <= n_live + 1
+
+    def test_stage_runs_on_worker(self):
+        import threading
+
+        from krust_tpu.models.engines import _prefetch_staged
+
+        main = threading.current_thread().name
+        seen = []
+
+        def stage(x):
+            seen.append(threading.current_thread().name)
+            return x
+
+        assert list(_prefetch_staged(iter([1, 2]), stage, depth=2)) == [1, 2]
+        assert all(name != main for name in seen)

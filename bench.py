@@ -188,9 +188,12 @@ def _staged_pass(engine, streams, emit) -> dict:
         bw = b.rows * b.block_windows
         if table.windows_this_epoch + bw >= EPOCH_WINDOW_LIMIT:
             epochs.append(table.finalize())
+        on_tpu = _child_on_tpu()
         out = _count_flat_step(
             p2, iv, np.int32(b.covered), K, b.rows, b.block_windows,
-            engine.config.use_pallas and _child_on_tpu(), mode,
+            engine.config.use_pallas and on_tpu, mode,
+            engine.config.use_fused_codec and on_tpu
+            and b.block_windows % 512 == 0,
         )
         if len(out) == 2:
             table.add(out[0], out[1], None, bw)
@@ -358,7 +361,14 @@ _STAGE_DEADLINES = {
 
 
 def _preflight(budget_s: float, log) -> dict | None:
-    """Probe subprocesses with backoff until one answers or budget runs out."""
+    """Probe subprocesses with backoff until one answers or budget runs out.
+
+    The retry schedule is SPREAD over the whole budget (backoff capped at
+    90 s) rather than front-loaded: observed tunnel outages last tens of
+    minutes and recover abruptly, so the last attempts matter as much as
+    the first (VERDICT r4 #2 — give the driver's end-of-round capture a
+    realistic shot).
+    """
     deadline = time.monotonic() + budget_s
     delay = 10.0
     attempt = 0
@@ -384,7 +394,7 @@ def _preflight(budget_s: float, log) -> dict | None:
         except Exception as e:  # pragma: no cover - defensive
             log(f"pre-flight attempt {attempt} error: {e}")
         time.sleep(min(delay, max(deadline - time.monotonic(), 0)))
-        delay = min(delay * 2, 120.0)
+        delay = min(delay * 1.6, 90.0)
     return None
 
 
@@ -492,8 +502,13 @@ def _emit_final(state: dict, bases: int, degraded: bool, note: str | None) -> No
     value = round(bases / elapsed, 1) if elapsed else 0.0
     phases = state["phases"]
     compute_only = None
+    overlap_s = None
     if phases and phases.get("compute"):
         compute_only = round(bases / max(phases["compute"], 1e-9), 1)
+        if clean:
+            # feed/compute overlap evidence (double-buffered feed): how far
+            # a clean end-to-end pass beats the serialized phase sum
+            overlap_s = round(sum(phases.values()) - min(clean), 3)
     links = state["links"] or {}
     with_result = [p for p in passes if "distinct" in p]
     record = {
@@ -508,6 +523,7 @@ def _emit_final(state: dict, bases: int, degraded: bool, note: str | None) -> No
         "link_h2d_mbs": links.get("h2d_mbs"),
         "link_d2h_mbs": links.get("d2h_mbs"),
         "phases": phases,
+        "feed_overlap_s": overlap_s,
         "passes": len(passes),
         "times": [round(t, 1) for t in all_t],
         "bases": bases,
@@ -544,7 +560,7 @@ def supervise() -> None:
 
     t_start = time.monotonic()
     total_budget = float(os.environ.get("KRUST_BENCH_TOTAL_S", "2400"))
-    preflight_budget = float(os.environ.get("KRUST_BENCH_PREFLIGHT_S", "600"))
+    preflight_budget = float(os.environ.get("KRUST_BENCH_PREFLIGHT_S", "900"))
     forced_bases = os.environ.get("KRUST_BENCH_BASES")
 
     info = _preflight(preflight_budget, log)
@@ -575,11 +591,19 @@ def supervise() -> None:
                 "TPU unreachable within pre-flight budget; CPU-backend "
                 "fallback result"
             )
+            # one small blind device attempt anyway when the budget allows:
+            # the child's own stage deadlines (launch->ready 300 s) bound
+            # the cost, and tunnels that ignore probes sometimes serve real
+            # backends (VERDICT r4 #2)
+            remaining = total_budget - (time.monotonic() - t_start)
+            attempts = (
+                [(32_000_000, dict(os.environ))] if remaining >= 900 else []
+            )
         else:
             note = f"no TPU (platform={info.get('platform')}); CPU-backend result"
+            attempts = []
         log(note)
         degraded = True
-        attempts = []
 
     cpu_env = dict(os.environ)
     cpu_env["KRUST_PLATFORM"] = "cpu"

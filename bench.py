@@ -195,7 +195,9 @@ def _staged_pass(engine, streams, emit) -> dict:
             engine.config.use_fused_codec and on_tpu
             and b.block_windows % 512 == 0,
         )
-        if len(out) == 2:
+        if len(out) == 1:  # lo-only sentinel part (k <= 16)
+            table.add(None, out[0], None, bw)
+        elif len(out) == 2:
             table.add(out[0], out[1], None, bw)
         else:
             table.add(out[0], out[1], out[2], bw)

@@ -350,7 +350,6 @@ def _count_flat_step(
             packed2 = packed2[:need]
         main = packed2[: rows * w4].reshape(rows, w4)
         halo = packed2[w4:].reshape(rows, w4)[:, :HALO_BYTES]
-        hi, lo = encode_packed_pallas(main, halo, k, interpret)
         # plane-separated global window index: column r*w4 + q is window
         # 4q + r, i.e. stream position row*w + 4q + r
         q4 = jnp.arange(w4, dtype=jnp.int32)
@@ -374,6 +373,20 @@ def _count_flat_step(
             .reshape(rows, w)
         )
         valid = valid & ~badw
+        if mode == "raw_sent":
+            # the kernel writes the sentinel pairs itself — no full-volume
+            # sentinel where pass outside. k <= 16: hi is identically zero
+            # and the epoch sort is lo-only, so the hi plane is never
+            # materialized at all (half the output HBM/concat volume).
+            badm = (~valid).astype(jnp.uint8)
+            if k <= 16:
+                lo = encode_packed_pallas(
+                    main, halo, k, interpret, badm, emit_hi=False
+                )
+                return (lo.reshape(-1),)
+            hi, lo = encode_packed_pallas(main, halo, k, interpret, badm)
+            return hi.reshape(-1), lo.reshape(-1)
+        hi, lo = encode_packed_pallas(main, halo, k, interpret)
     else:
         from ..ops.codec import encode_blocks, unpack_flat_blocks
         from ..ops.pallas_codec import encode_blocks_pallas
@@ -384,20 +397,23 @@ def _count_flat_step(
         idx = jnp.arange(rows * w, dtype=jnp.int32).reshape(rows, w)
         valid = valid & (idx < covered)
     if mode == "raw_sent":
-        return _sentinel_part(hi, lo, valid)
+        return _sentinel_part(hi, lo, valid, k)
     return hi, lo, valid.astype(jnp.uint32)
 
 
-def _sentinel_part(hi, lo, valid):
+def _sentinel_part(hi, lo, valid, k=32):
     """Unsorted (hi, lo) with invalid windows keyed (SENT, SENT) — never a
-    canonical code for any k (the all-ones k-mer's RC is all-zeros)."""
+    canonical code for any k (the all-ones k-mer's RC is all-zeros).
+
+    k <= 16: hi is identically zero and the epoch sort is lo-only, so the
+    part is a 1-tuple (lo,) — the hi plane never materializes."""
     jnp = jax.numpy
     sent = jnp.uint32(0xFFFFFFFF)
     valid = valid.reshape(-1)
-    return (
-        jnp.where(valid, hi.reshape(-1), sent),
-        jnp.where(valid, lo.reshape(-1), sent),
-    )
+    s_lo = jnp.where(valid, lo.reshape(-1), sent)
+    if k <= 16:
+        return (s_lo,)
+    return (jnp.where(valid, hi.reshape(-1), sent), s_lo)
 
 
 @functools.partial(
@@ -413,7 +429,7 @@ def _dense_raw_step(packed2, badbits, k, width, use_pallas=False, mode="raw"):
     enc = encode_blocks_pallas if use_pallas else encode_blocks
     hi, lo, valid = enc(codes, k, None, None)
     if mode == "raw_sent":
-        return _sentinel_part(hi, lo, valid)
+        return _sentinel_part(hi, lo, valid, k)
     return hi, lo, valid.astype(jax.numpy.uint32)
 
 
@@ -595,7 +611,9 @@ class BatchEngine:
                         mode,
                         fused,
                     )
-                    if len(out) == 2:
+                    if len(out) == 1:  # lo-only sentinel part (k <= 16)
+                        table.add(None, out[0], None, batch_windows)
+                    elif len(out) == 2:
                         table.add(out[0], out[1], None, batch_windows)
                     else:
                         table.add(out[0], out[1], out[2], batch_windows)
@@ -626,7 +644,9 @@ class BatchEngine:
                         use_pallas,
                         mode,
                     )
-                    if len(out) == 2:
+                    if len(out) == 1:  # lo-only sentinel part (k <= 16)
+                        table.add(None, out[0], None, batch_windows)
+                    elif len(out) == 2:
                         table.add(out[0], out[1], None, batch_windows)
                     else:
                         table.add(out[0], out[1], out[2], batch_windows)

@@ -203,24 +203,60 @@ def _fused_body(bts, k: int, w4: int):
     return jnp.concatenate(his, axis=1), jnp.concatenate(los, axis=1)
 
 
-def _make_kernel(k: int, w4: int):
-    def kernel(main_ref, halo_ref, hi_ref, lo_ref):
-        bts = jnp.concatenate(
-            [main_ref[:, :], halo_ref[:, :]], axis=1
-        ).astype(jnp.int32)
-        hi, lo = _fused_body(bts, k, w4)
-        hi_ref[:, :] = hi
-        lo_ref[:, :] = lo
+def _make_kernel(k: int, w4: int, with_mask: bool, emit_hi: bool):
+    if with_mask and emit_hi:
+
+        def kernel(main_ref, halo_ref, bad_ref, hi_ref, lo_ref):
+            bts = jnp.concatenate(
+                [main_ref[:, :], halo_ref[:, :]], axis=1
+            ).astype(jnp.int32)
+            hi, lo = _fused_body(bts, k, w4)
+            bad = bad_ref[:, :] != 0
+            sent = jnp.uint32(0xFFFFFFFF)
+            hi_ref[:, :] = jnp.where(bad, sent, hi)
+            lo_ref[:, :] = jnp.where(bad, sent, lo)
+
+    elif with_mask:
+
+        def kernel(main_ref, halo_ref, bad_ref, lo_ref):
+            bts = jnp.concatenate(
+                [main_ref[:, :], halo_ref[:, :]], axis=1
+            ).astype(jnp.int32)
+            _, lo = _fused_body(bts, k, w4)
+            lo_ref[:, :] = jnp.where(
+                bad_ref[:, :] != 0, jnp.uint32(0xFFFFFFFF), lo
+            )
+
+    elif emit_hi:
+
+        def kernel(main_ref, halo_ref, hi_ref, lo_ref):
+            bts = jnp.concatenate(
+                [main_ref[:, :], halo_ref[:, :]], axis=1
+            ).astype(jnp.int32)
+            hi, lo = _fused_body(bts, k, w4)
+            hi_ref[:, :] = hi
+            lo_ref[:, :] = lo
+
+    else:
+
+        def kernel(main_ref, halo_ref, lo_ref):
+            bts = jnp.concatenate(
+                [main_ref[:, :], halo_ref[:, :]], axis=1
+            ).astype(jnp.int32)
+            _, lo = _fused_body(bts, k, w4)
+            lo_ref[:, :] = lo
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "emit_hi"))
 def encode_packed_pallas(
     main: jax.Array,
     halo: jax.Array,
     k: int,
     interpret: bool = False,
+    bad: jax.Array | None = None,
+    emit_hi: bool = True,
 ):
     """Packed bytes -> plane-separated canonical (hi, lo) codes.
 
@@ -231,11 +267,18 @@ def encode_packed_pallas(
         each row's main span (row i's halo = main row i+1's head; the caller
         builds this view, see engines._count_flat_step).
       k: static k-mer length, 1..32.
+      bad: optional [rows, W] uint8 bad-window mask in the SAME
+        plane-separated order as the outputs; nonzero windows are written
+        as the (SENT, SENT) pair directly by the kernel, saving the
+        full-volume sentinel `where` pass outside.
 
     Returns:
       (hi, lo): uint32 [rows, W] in plane-separated order — column
-      r * W/4 + q is the canonical code of window 4q + r. No validity is
-      computed; callers poison invalid/padding windows afterwards.
+      r * W/4 + q is the canonical code of window 4q + r. Without ``bad``
+      no validity is applied; callers poison invalid/padding windows
+      afterwards. With ``emit_hi=False`` (k <= 16, where hi is identically
+      zero) only ``lo`` is returned — half the kernel's output HBM writes
+      and no dead hi plane downstream.
 
     Geometry: W/4 must be a multiple of 128 lanes and rows a multiple of
     TILE_ROWS (engines gates the fused path on this; the default
@@ -256,19 +299,25 @@ def encode_packed_pallas(
     out_spec = pl.BlockSpec(
         (TILE_ROWS, 4 * w4), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((rows, 4 * w4), jnp.uint32),
-        jax.ShapeDtypeStruct((rows, 4 * w4), jnp.uint32),
-    )
+    assert emit_hi or k <= 16, "emit_hi=False requires hi identically zero"
+    plane = jax.ShapeDtypeStruct((rows, 4 * w4), jnp.uint32)
+    out_shape = (plane, plane) if emit_hi else plane
+    out_specs = (out_spec, out_spec) if emit_hi else out_spec
+    in_specs = [main_spec, halo_spec]
+    args = [main, halo]
+    if bad is not None:
+        assert bad.shape == (rows, 4 * w4), bad.shape
+        in_specs.append(out_spec)
+        args.append(bad)
     call = pl.pallas_call(
-        _make_kernel(k, w4),
+        _make_kernel(k, w4, bad is not None, emit_hi),
         grid=grid,
-        in_specs=[main_spec, halo_spec],
-        out_specs=(out_spec, out_spec),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )
-    return call(main, halo)
+    return call(*args)
 
 
 def plane_permute(x: jax.Array) -> jax.Array:

@@ -679,9 +679,14 @@ class EpochTable(DeviceTable):
         self._pending_epoch_raw = 0
 
     def add(self, u_hi, u_lo, u_cnt, n_windows: int):
-        """Append one batch's raw sentinel-keyed windows (u_cnt ignored)."""
-        self._raw.append((u_hi.reshape(-1), u_lo.reshape(-1)))
-        self._raw_pending += self._raw[-1][0].shape[0]
+        """Append one batch's raw sentinel-keyed windows (u_cnt ignored).
+
+        ``u_hi`` may be None for k <= 16 (hi is identically zero and the
+        epoch sort is lo-only): the hi plane then never materializes."""
+        self._raw.append(
+            (None if u_hi is None else u_hi.reshape(-1), u_lo.reshape(-1))
+        )
+        self._raw_pending += self._raw[-1][1].shape[0]
         self.windows_this_epoch += n_windows
         # feeds the finalize pull's mean-count gate (the epoch path was
         # leaving this at 0, unconditionally choosing the 4-bit packed pull
@@ -723,7 +728,11 @@ class EpochTable(DeviceTable):
         if not self._raw:
             return
         with span("epoch_flush", pending=self._raw_pending):
-            hi = jnp.concatenate([p[0] for p in self._raw])
+            hi = (
+                None
+                if any(p[0] is None for p in self._raw)
+                else jnp.concatenate([p[0] for p in self._raw])
+            )
             lo = jnp.concatenate([p[1] for p in self._raw])
             self._pending_epoch_raw = self._raw_pending
             self._raw = []

@@ -102,21 +102,37 @@ def _encode_sharded(codes, qual, k, quality_threshold, mesh):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "rows", "block_windows", "mesh")
+    jax.jit,
+    static_argnames=("k", "rows", "block_windows", "mesh", "fused"),
 )
-def _encode_flat_sharded(packed2, invpos, covered, k, rows, block_windows, mesh):
+def _encode_flat_sharded(
+    packed2, invpos, covered, k, rows, block_windows, mesh, fused=False
+):
     """Flat minimal-byte sharded step: per-chip 2-bit slices -> raw windows.
 
     The sharded twin of engines._count_flat_step: each chip receives its own
     contiguous 2-bit stream slice (0.25 B/base) plus sparse invalid
     positions, unpacks/blockizes on device, runs the codec, and masks
-    windows at local index >= its ``covered`` scalar.
+    windows at local index >= its ``covered`` scalar. ``fused`` (real TPU
+    meshes) routes each chip through the single-kernel packed-bytes codec
+    instead (same (hi, lo, weight) contract, plane-separated window order —
+    order-insensitive downstream).
     """
+    from ..models.engines import _count_flat_step
     from ..ops.codec import unpack_flat_blocks
 
     w = block_windows
 
     def local_fn(p_l, iv_l, cov_l):
+        if fused:
+            hi, lo, valid = _count_flat_step(
+                p_l[0], iv_l[0], cov_l[0], k, rows, w, True, "raw", True
+            )
+            return (
+                hi.reshape(1, -1),
+                lo.reshape(1, -1),
+                valid.reshape(1, -1),
+            )
         blocks = unpack_flat_blocks(p_l[0], iv_l[0], k, rows, w)
         hi, lo, valid = encode_blocks(blocks, k, None, None)
         idx = jnp.arange(rows * w, dtype=jnp.int32).reshape(rows, w)
@@ -671,9 +687,14 @@ def count_sharded(
             p2_d = put_rows(p2, n_dev)
             iv_d = put_rows(iv, n_dev)
             cov_d = put_vec(cov)
+            fused = (
+                cfg.use_fused_codec
+                and w % 512 == 0
+                and jax.devices()[0].platform not in ("cpu", "gpu")
+            )
             with span("sharded_encode", rows=n_dev * r_chip, devices=n_dev):
                 hi, lo, cnt = _encode_flat_sharded(
-                    p2_d, iv_d, cov_d, k, r_chip, w, mesh
+                    p2_d, iv_d, cov_d, k, r_chip, w, mesh, fused
                 )
             table.add(hi, lo, cnt, batch_windows)
             pacer.step(int(cov.sum()))

@@ -33,7 +33,9 @@ def main():
     assert jax.process_count() == n_procs
     assert len(jax.devices()) == n_procs * jax.local_device_count()
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root: krust_tpu import
     import oracle
 
     from krust_tpu.io.reader import streams_from_sequences

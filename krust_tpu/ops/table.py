@@ -617,6 +617,21 @@ def _epoch_sort_rle(hi, lo, k, interpret):
     return rle_compact(s_hi, s_lo, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _epoch_concat_sort_rle(his, los, k, interpret):
+    """Concatenate raw parts and epoch-sort them in ONE XLA program.
+
+    Fusing the concat into the sort's program saves a dispatch round-trip
+    and lets XLA write the concatenated operand straight into the sort's
+    working buffer instead of materializing it separately (the epoch
+    concat measured 34 ms of the 551 ms k=21 compute phase as its own
+    dispatch). ``his`` is None on the lo-only (k <= 16) path.
+    """
+    hi = None if his is None else jnp.concatenate(his)
+    lo = jnp.concatenate(los)
+    return _epoch_sort_rle(hi, lo, k, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "one_key"))
 def _merge_compact(a, b, interpret, one_key=False):
     """Merge two compacted parts and re-compact (weighted). ``one_key``
@@ -728,17 +743,17 @@ class EpochTable(DeviceTable):
         if not self._raw:
             return
         with span("epoch_flush", pending=self._raw_pending):
-            hi = (
+            his = (
                 None
                 if any(p[0] is None for p in self._raw)
-                else jnp.concatenate([p[0] for p in self._raw])
+                else [p[0] for p in self._raw]
             )
-            lo = jnp.concatenate([p[1] for p in self._raw])
+            los = [p[1] for p in self._raw]
             self._pending_epoch_raw = self._raw_pending
             self._raw = []
             self._raw_pending = 0
-            self._pending_epoch = _epoch_sort_rle(
-                hi, lo, self._k, self._interpret
+            self._pending_epoch = _epoch_concat_sort_rle(
+                his, los, self._k, self._interpret
             )
 
     def _merge_compacted(self) -> None:

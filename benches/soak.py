@@ -106,6 +106,50 @@ def main() -> int:
             if got != exp:
                 print(f"ORACLE DIVERGENCE trial={trials} k={k} n={n}", flush=True)
                 return 1
+        # fused-codec interpret differential (the fused path is TPU-gated
+        # in engines, so the randomized campaign exercises it explicitly):
+        # step-level set equality, fused vs unfused, on the same stream
+        if trials % 7 == 0 and n >= 600:
+            import jax.numpy as jnp
+
+            from krust_tpu.io.packer import pack2_full
+            from krust_tpu.models.engines import _count_flat_step
+
+            rows, w = 8, 512
+            seg = rows * w + k - 1
+            st = codes[:seg]
+            if st.shape[0] < seg:
+                st = np.concatenate(
+                    [st, np.zeros(seg - st.shape[0], np.uint8)]
+                )
+            covered = min(rows * w, max(st.shape[0] - k + 1, 0))
+            inv = np.flatnonzero(st >= INVALID_CODE).astype(np.int32)
+            p = max(8, 1 << int(np.ceil(np.log2(max(inv.shape[0], 1)))))
+            invpos = np.full(p, seg, np.int32)
+            invpos[: inv.shape[0]] = inv
+            outs = [
+                _count_flat_step(
+                    jnp.asarray(pack2_full(st)), jnp.asarray(invpos),
+                    np.int32(covered), k, rows, w, False, "raw_sent",
+                    fused, True,
+                )
+                for fused in (False, True)
+            ]
+
+            def skey(out):
+                if len(out) == 1:
+                    return np.sort(np.asarray(out[0]).astype(np.uint64))
+                return np.sort(
+                    (np.asarray(out[0]).astype(np.uint64) << 32)
+                    | np.asarray(out[1]).astype(np.uint64)
+                )
+
+            if not np.array_equal(skey(outs[0]), skey(outs[1])):
+                print(
+                    f"FUSED DIVERGENCE trial={trials} k={k} n={n}", flush=True
+                )
+                np.savez("/tmp/soak_fused_divergence.npz", codes=st, k=k)
+                return 1
         if trials % 25 == 0:
             print(
                 f"  soak: {trials} trials, "

@@ -33,33 +33,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _shl64(lo, s: int):
-    """(0, lo) << s as a (hi, lo) uint32 pair; 0 <= s < 64, static."""
-    if s == 0:
-        return jnp.zeros_like(lo), lo
-    if s < 32:
-        return lo >> (32 - s), lo << s
-    if s == 32:
-        return lo, jnp.zeros_like(lo)
-    return lo << (s - 32), jnp.zeros_like(lo)
-
-
 def _codec_body(c, k: int, w: int):
     """Kernel math: int32 codes [TB, WKP] -> (hi, lo, valid) [TB, w].
 
     Doubling formulation (round 4): instead of k rolling steps, partial
-    packs over segment lengths 1, 2, 4, ... 2^floor(log2 k) are built by
-    combining pairs —
+    packs over segment lengths 1, 2, 4, ... 16 are built by combining
+    pairs —
 
         pack_{2m}(j) = pack_m(j) * 4^m + pack_m(j + m)
         rc_{2m}(j)   = rc_m(j + m) * 4^m + rc_m(j)
         valid_{2m}(j) = valid_m(j) & valid_m(j + m)
 
-    — then k's set bits combine most-significant-first. O(log k +
-    popcount k) vector steps instead of O(k): ~3x fewer VPU ops at k=21,
-    ~4x at k=32. Arrays shrink with each combine (all slices static), so
-    no fills or concats are needed. Segments of <= 16 bases fit one
-    uint32 plane; only the final combines touch the (hi, lo) pair.
+    — then (round 5) the 64-bit code is assembled as two INDEPENDENT
+    <= 16-base plane packs: fwd_hi = pack(first k-16 bases), fwd_lo =
+    pack(last 16); rc_hi = rc(last k-16), rc_lo = rc(first 16). Every
+    combine is a sub-32-bit uint32 shift/or. The round-4 formulation
+    instead carried a (fwd_hi, fwd_lo) pair through the final combines;
+    Mosaic MISCOMPILED its pair shifts for k in 25..31 (compiled-vs-
+    interpret divergence, isolated on chip round 5 —
+    `benches/probe_fused_codec.py` and /tmp-bisect logs; k=24 and 32
+    were unaffected because they need at most one final pair combine).
+    Same restructure as ops/pallas_fused.
 
     No quality branch: the engine folds quality filtering into invalid-base
     masks on the host (quality bytes never cross the link), so the kernel
@@ -83,66 +77,55 @@ def _codec_body(c, k: int, w: int):
         )
         m *= 2
 
-    # combine k as a sum of <= 16-base segments, most significant first
-    # (k == 32 decomposes as 16 + 16). Accumulated length L; fwd shifts the
-    # accumulator pair by 2b (<= 32), rc shifts the incoming b-segment by
-    # 2L (up to 62: the generic pair shift).
-    if k == 32:
-        bits = [16, 16]
-    else:
-        bits = [
-            1 << i for i in range(k.bit_length() - 1, -1, -1) if k & (1 << i)
+    # independent-plane assembly (round 5): each of hi/lo (and their rcs)
+    # is a <= 16-base pack composed from the power-of-two partials at the
+    # right offsets — all sub-32-bit uint32 shifts, no pair carries.
+    def bits_of(m):
+        return [
+            1 << i for i in range(m.bit_length() - 1, -1, -1) if m & (1 << i)
         ]
-    top = bits[0]
-    fwd_lo, rc_lo, valid = partials[top]
-    fwd_hi = rc_hi = None  # top <= 16: everything fits the lo plane
-    L = top
-    for b in bits[1:]:
-        pb, rb, vb = partials[b]
-        width = valid.shape[1] - b  # positions where both segments exist
-        pb_s = pb[:, L : L + width]
-        rb_s = rb[:, L : L + width]
-        vb_s = vb[:, L : L + width]
-        wide_next = 2 * (L + b) > 32
-        # fwd: (acc << 2b) | pb(+L); 2b <= 32, == 32 only for 16+16
-        s = 2 * b
-        if fwd_hi is not None:
-            fwd_hi = (fwd_hi[:, :width] << s) | (fwd_lo[:, :width] >> (32 - s))
-            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-        elif not wide_next:
-            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-        elif s == 32:
-            fwd_hi = fwd_lo[:, :width]
-            fwd_lo = pb_s
-        else:
-            fwd_hi = fwd_lo[:, :width] >> (32 - s)
-            fwd_lo = (fwd_lo[:, :width] << s) | pb_s
-        # rc: (rb(+L) << 2L) | acc
-        sh_hi, sh_lo = _shl64(rb_s, 2 * L)
-        if rc_hi is not None:
-            rc_hi = rc_hi[:, :width] | sh_hi
-            rc_lo = rc_lo[:, :width] | sh_lo
-        elif wide_next:
-            rc_hi = sh_hi
-            rc_lo = rc_lo[:, :width] | sh_lo
-        else:
-            # 2(L+b) <= 32 implies sh_hi == 0 identically
-            rc_lo = rc_lo[:, :width] | sh_lo
-        valid = jnp.logical_and(valid[:, :width], vb_s)
-        L += b
 
-    assert L == k and valid.shape[1] >= w, (L, valid.shape, w)
-    fwd_lo = fwd_lo[:, :w]
-    rc_lo = rc_lo[:, :w]
-    valid = valid[:, :w]
-    if fwd_hi is not None:
-        fwd_hi = fwd_hi[:, :w]
-        rc_hi = rc_hi[:, :w]
-        use_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
-        hi = jnp.where(use_rc, rc_hi, fwd_hi)
-    else:
+    def fwd_at(mbits, off):
+        acc, L = None, 0
+        for b in mbits:
+            seg = partials[b][0][:, off + L : off + L + w]
+            acc = seg if acc is None else (acc << (2 * b)) | seg
+            L += b
+        return acc
+
+    def rc_at(mbits, off):
+        # rc(concat(A, B)) = rc(B) << 2*len(A) | rc(A)
+        acc, L = None, 0
+        for b in mbits:
+            seg = partials[b][1][:, off + L : off + L + w]
+            acc = seg if acc is None else (seg << (2 * L)) | acc
+            L += b
+        return acc
+
+    def valid_at(mbits, off):
+        acc, L = None, 0
+        for b in mbits:
+            seg = partials[b][2][:, off + L : off + L + w]
+            acc = seg if acc is None else jnp.logical_and(acc, seg)
+            L += b
+        return acc
+
+    if k <= 16:
+        kb = bits_of(k)
+        fwd_lo = fwd_at(kb, 0)
+        rc_lo = rc_at(kb, 0)
+        valid = valid_at(kb, 0)
         use_rc = rc_lo < fwd_lo
         hi = jnp.zeros(fwd_lo.shape, jnp.uint32)
+    else:
+        hb = bits_of(k - 16)
+        fwd_hi = fwd_at(hb, 0)  # pack(first k-16 bases)
+        fwd_lo = fwd_at([16], k - 16)  # pack(last 16)
+        rc_hi = rc_at(hb, 16)  # rc(last k-16)
+        rc_lo = rc_at([16], 0)  # rc(first 16)
+        valid = jnp.logical_and(valid_at(hb, 0), valid_at([16], k - 16))
+        use_rc = (rc_hi < fwd_hi) | ((rc_hi == fwd_hi) & (rc_lo < fwd_lo))
+        hi = jnp.where(use_rc, rc_hi, fwd_hi)
     lo = jnp.where(use_rc, rc_lo, fwd_lo)
     return hi, lo, valid.astype(jnp.uint8)
 

@@ -661,19 +661,22 @@ class EpochTable(DeviceTable):
     Adaptive epoch sizing (round 5, VERDICT r4 #5/ROADMAP 2c): the flat
     sort costs ~0.095 ns/elem per log2 stage, so splitting an epoch into S
     slices saves ~0.095*log2(S) ns/elem on the raw volume but pays the
-    weighted merge chain (~1.45 ns/elem/level, measured) on the COMPACTED
-    volume — halving the epoch pays while epoch_size > ~64 * distinct.
+    weighted merge chain on the COMPACTED volume. Measured on chip
+    (`benches/probe_epoch_adaptive_r5_tpu.txt`): dup-64 epochs gain 1.12x
+    by splitting to dup-16 slices; dup-16 is the wash point; dup-2 loses.
     After the first epoch resolves, the measured distinct count retunes
-    the limit to clamp(64 * distinct, 2^25, device budget). An explicit
-    KRUST_EPOCH_ENTRIES pins the size and disables adaptation.
+    the limit to clamp(ADAPT_DUP_TARGET * distinct, 2^25, device budget).
+    An explicit KRUST_EPOCH_ENTRIES pins the size and disables adaptation.
 
     Reference analog: the whole dashmap engine (reference: src/run.rs:489-583).
     """
 
-    #: adaptive size target: ~64x duplication inside a slice is where one
-    #: extra merge level costs what one saved sort stage saves (see
-    #: benches/probe_epoch_adaptive.py for the on-chip crossover)
-    ADAPT_DUP_TARGET = 64
+    #: adaptive size target, MEASURED on chip (probe_epoch_adaptive_r5):
+    #: slicing a dup-64 epoch into dup-16 slices gains 1.12x on the
+    #: sort+merge phase; slicing dup-16 further is a wash (0.99-1.05x) and
+    #: dup-2 epochs lose by splitting (0.63-0.77x). Epochs therefore aim
+    #: for ~16x duplication per slice.
+    ADAPT_DUP_TARGET = 16
     ADAPT_MIN = 1 << 25
 
     def __init__(self, k: int = 32, max_parts: int = 8, interpret: bool = False):

@@ -68,19 +68,21 @@ def main():
     hi, lo = _synth(jax.random.PRNGKey(0))
     sync((hi, lo))
 
-    # baseline: the k>=25 route
-    t_base = timed(
-        "2-key (u32,u32) flat sort",
-        jax.jit(lambda: jax.lax.sort((hi, lo), num_keys=2, is_stable=False)),
-    )
+    # baseline: the k>=25 route. NOTE: the sort fns take the arrays as
+    # ARGUMENTS — a zero-arg jit closing over 128M-element device arrays
+    # embeds them as constants and XLA constant-folds the whole sort at
+    # compile time (observed: the probe hangs in compilation).
+    sort2 = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2, is_stable=False))
+    t_base = timed("2-key (u32,u32) flat sort", lambda: sort2(hi, lo))
 
     # A: the distribution pass alone (u8 key + 2 u32 payloads)
     hib = (hi >> 24).astype(jnp.uint8)
+    sort1p2 = jax.jit(
+        lambda b8, a, b: jax.lax.sort((b8, a, b), num_keys=1, is_stable=False)
+    )
     t_part = timed(
         "A: 1-key u8 sort + (u32,u32) payloads (partition pass alone)",
-        jax.jit(
-            lambda: jax.lax.sort((hib, hi, lo), num_keys=1, is_stable=False)
-        ),
+        lambda: sort1p2(hib, hi, lo),
     )
     verdict_a = (
         "refuted" if t_part / N * 1e9 > (t_base / N * 1e9 - 2.4) else "viable?"
@@ -94,13 +96,11 @@ def main():
     # B: same bytes, more operands
     hi16a = (hi >> 16).astype(jnp.uint16)
     hi16b = hi.astype(jnp.uint16)
+    sort3 = jax.jit(
+        lambda a, b, c: jax.lax.sort((a, b, c), num_keys=3, is_stable=False)
+    )
     t_b = timed(
-        "B: 3-key (u16,u16,u32) flat sort",
-        jax.jit(
-            lambda: jax.lax.sort(
-                (hi16a, hi16b, lo), num_keys=3, is_stable=False
-            )
-        ),
+        "B: 3-key (u16,u16,u32) flat sort", lambda: sort3(hi16a, hi16b, lo)
     )
     print(
         f"  -> B {'refuted' if t_b >= 0.95 * t_base else 'viable?'}: "

@@ -60,7 +60,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 8
+import os
+
+#: rows per kernel tile. uint8 inputs tile at 32 sublanes on TPU, so tiles
+#: narrower than 32 rows waste vector-register occupancy; geometry is
+#: env-tunable for probing (benches/probe_fused_tile.py).
+TILE_ROWS = int(os.environ.get("KRUST_FUSED_TILE_ROWS", "8"))
 _LANES = 128
 
 #: halo bytes appended per row (covers k <= 32: the last window of a row

@@ -631,6 +631,15 @@ def supervise() -> None:
                 degraded = True
             if is_cpu and not note:
                 note = "device attempts produced no pass; CPU-backend result"
+            if state.get("platform") not in (None, "cpu", "gpu") and (
+                note or ""
+            ).startswith("TPU unreachable"):
+                # the blind device attempt landed a real accelerator pass
+                note = (
+                    "pre-flight probes failed but the blind device attempt "
+                    "succeeded (stage-deadline bounded); workload "
+                    "conservatively small"
+                )
             _emit_final(state, bases, degraded, note)
             return
         log(f"attempt {i + 1} produced no completed pass")
